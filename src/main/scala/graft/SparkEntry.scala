@@ -1,13 +1,27 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{Dedup, Graph, Relational, Similarity, TextAnalysis}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the full operator surface: relational (agg/join/window/set
+  * ops), text analysis, dedup, similarity search, iterative graph ops, and
+  * the KG-construction pipeline queries. Each map key that also appears in
+  * `oracleSql` is checked row/schema/hash-exact against DuckDB by the driver;
+  * the rest are rows-only checked and gated by ScalaTest instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship on sf0.001: the KG pipeline entry (driver smoke-checks rows>0). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    KgPipeline.entry(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
+      Similarity.queries ++ Graph.queries ++ KgPipeline.queries
+
+  def oracleSql: Map[String, String] =
+    Relational.oracleSql ++ TextAnalysis.oracleSql ++ Dedup.oracleSql ++
+      Similarity.oracleSql ++ Graph.oracleSql ++ KgPipeline.oracleSql
 }

@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for a training-data pipeline over `documents`:
+  * exact/bag-of-words dedup, MinHash signatures, MinHash-LSH candidate pairs
+  * with verified n-gram Jaccard, and SimHash. All use md5 as the shared hash
+  * family so every step has an exact DuckDB oracle (md5 hex is identical in
+  * both engines; Jaccard is computed in pure integer arithmetic).
+  *
+  * Scale notes (100 TB): every stage is explode → hash-partitioned groupBy —
+  * no driver-side state. The LSH self-join is banded (join key = (band,
+  * signature)), so shuffle volume is O(docs × bands), not O(docs²); the
+  * verification join touches only candidate pairs.
+  */
+object Dedup {
+
+  private val NSeeds = 4 // MinHash seeds; each seed doubles as one LSH band
+
+  // ---- d01: MinHash signatures over character 8-gram shingles -------------
+  private def minhashExpr(seed: Int): String =
+    s"array_min(transform(sequence(1, greatest(length(text) - 7, 1)), " +
+      s"i -> md5(concat('s$seed', substr(text, i, 8))))) AS mh$seed"
+
+  def d01MinhashSignatures(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .selectExpr(Seq("doc_id") ++ (0 until NSeeds).map(minhashExpr): _*)
+      .orderBy(col("doc_id"))
+
+  val d01Sql: String = {
+    // DuckDB 1.0 lacks lateral generate_series args: build an uncorrelated
+    // series to the corpus max and filter.
+    val mins = (0 until NSeeds)
+      .map(k => s"min(md5('s$k' || substr(text, i, 8))) AS mh$k").mkString(", ")
+    s"""WITH series AS (SELECT i FROM generate_series(1, 2048) t(i))
+       |SELECT doc_id, $mins
+       |FROM documents JOIN series ON i <= greatest(length(text) - 7, 1)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- d02: LSH candidate pairs + verified word-3-gram Jaccard ------------
+  // Candidates: pairs sharing any band signature. Verification: exact Jaccard
+  // over distinct word 3-grams, as integer permille (1000*|∩| div |∪|) so the
+  // value is engine-exact. Output: top-100 most similar candidate pairs.
+  private val shingle3 =
+    "transform(sequence(1, size(split(text, ' ')) - 2), " +
+      "i -> concat(element_at(split(text, ' '), i), ' ', " +
+      "element_at(split(text, ' '), i + 1), ' ', element_at(split(text, ' '), i + 2)))"
+
+  def d02LshPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .filter(size(split(col("text"), " ")) >= 3)
+    // band signatures (band k = minhash with seed k)
+    val sigs = docs
+      .selectExpr(Seq("doc_id") ++ (0 until NSeeds).map(minhashExpr): _*)
+      .selectExpr("doc_id",
+        s"stack($NSeeds, ${(0 until NSeeds).map(k => s"$k, mh$k").mkString(", ")}) AS (band, sig)")
+    // Mega-bucket guard (standard at scale: a bucket holding most of the
+    // corpus generates O(n²) candidates and means the band is useless).
+    val bucketSizes = sigs.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= 50)
+      .select(col("band"), col("sig"))
+    val bounded = sigs.join(bucketSizes, Seq("band", "sig"), "left_semi")
+    val cand = bounded.as("x").join(bounded.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    // distinct word-3-gram sets
+    val sh = docs.selectExpr("doc_id", s"explode(array_distinct($shingle3)) AS sh")
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = cand
+      .join(sh.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_common"))
+    cand
+      .join(common, Seq("a", "b"), "left")
+      .na.fill(0L, Seq("n_common"))
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), Seq("a"))
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), Seq("b"))
+      .selectExpr("a", "b",
+        "(1000 * n_common) DIV (na + nb - n_common) AS jaccard_e3")
+      .orderBy(col("jaccard_e3").desc, col("a"), col("b"))
+      .limit(100)
+  }
+
+  val d02Sql: String = {
+    val mins = (0 until NSeeds)
+      .map(k => s"min(md5('s$k' || substr(text, i, 8))) AS mh$k").mkString(", ")
+    val stack = (0 until NSeeds).map(k => s"SELECT doc_id, $k AS band, mh$k AS sig FROM sigs")
+      .mkString(" UNION ALL ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+       |  WHERE length(string_split(text, ' ')) >= 3),
+       |series AS (SELECT i FROM generate_series(1, 2048) t(i)),
+       |sigs AS (
+       |  SELECT doc_id, $mins
+       |  FROM docs JOIN series ON i <= greatest(length(text) - 7, 1)
+       |  GROUP BY doc_id),
+       |bands0 AS ($stack),
+       |keep AS (
+       |  SELECT band, sig FROM bands0 GROUP BY band, sig HAVING COUNT(*) <= 50),
+       |bands AS (SELECT bands0.* FROM bands0 JOIN keep USING (band, sig)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+       |  FROM docs JOIN series ON i <= length(toks) - 2),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |common AS (
+       |  SELECT a, b, COUNT(*) AS n_common
+       |  FROM cand JOIN sh sa ON a = sa.doc_id
+       |  JOIN sh sb ON b = sb.doc_id AND sa.sh = sb.sh
+       |  GROUP BY a, b)
+       |SELECT a, b,
+       |  (1000 * COALESCE(n_common, 0)) // (na + nb - COALESCE(n_common, 0)) AS jaccard_e3
+       |FROM cand
+       |LEFT JOIN common USING (a, b)
+       |JOIN (SELECT doc_id AS a, n_sh AS na FROM sizes) USING (a)
+       |JOIN (SELECT doc_id AS b, n_sh AS nb FROM sizes) USING (b)
+       |ORDER BY jaccard_e3 DESC, a, b LIMIT 100""".stripMargin
+  }
+
+  // ---- d03: SimHash (16-bit) over the token multiset ----------------------
+  // h16(token) = first 4 hex nibbles of md5; bit votes ±1; sign → bit.
+  def d03Simhash(s: SparkSession, d: String): DataFrame = {
+    val nib = (i: Int) => s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    val bits = Tables.documents(s, d)
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS tok")
+      .selectExpr("doc_id", "substr(md5(tok), 1, 4) AS h")
+      .selectExpr("doc_id",
+        s"((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + ${nib(4)} AS h16")
+      .selectExpr("doc_id", "h16", "explode(sequence(0, 15)) AS b")
+      .selectExpr("doc_id", "b", "2 * ((h16 DIV shiftleft(1, b)) % 2) - 1 AS vote")
+    bits.groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("vote")).as("votes"))
+      .selectExpr("doc_id",
+        "CASE WHEN votes > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END AS bitval")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bitval")).as("simhash16"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d03Sql: String = {
+    val nib = (i: Int) => s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    s"""WITH toks AS (
+       |  SELECT doc_id, substr(md5(tok), 1, 4) AS h
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+       |h16s AS (
+       |  SELECT doc_id,
+       |    ((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + ${nib(4)} AS h16
+       |  FROM toks),
+       |votes AS (
+       |  SELECT doc_id, b, SUM(2 * ((h16 // (1 << b)) % 2) - 1) AS votes
+       |  FROM h16s, generate_series(0, 15) AS t(b)
+       |  GROUP BY doc_id, b)
+       |SELECT doc_id,
+       |  CAST(SUM(CASE WHEN votes > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash16
+       |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- d04: exact + bag-of-words duplicate groups --------------------------
+  // Canonical = min doc_id per BoW fingerprint; groups of size ≥ 1 reported
+  // with their size (size > 1 ⇒ near-duplicate cluster to drop).
+  def d04ExactDupGroups(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .selectExpr("doc_id",
+        "md5(array_join(array_sort(array_distinct(split(text, ' '))), ' ')) AS fp")
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("canonical_doc_id"), count(lit(1)).as("group_size"))
+      .orderBy(col("canonical_doc_id"))
+
+  val d04Sql: String =
+    """SELECT fp, MIN(doc_id) AS canonical_doc_id, COUNT(*) AS group_size
+      |FROM (SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+      |  FROM documents) t
+      |GROUP BY fp ORDER BY canonical_doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_minhash_signatures" -> (d01MinhashSignatures _),
+    "d02_lsh_pairs" -> (d02LshPairs _),
+    "d03_simhash" -> (d03Simhash _),
+    "d04_exact_dup_groups" -> (d04ExactDupGroups _))
+
+  val oracleSql: Map[String, String] = Map(
+    "d01_minhash_signatures" -> d01Sql,
+    "d02_lsh_pairs" -> d02Sql,
+    "d03_simhash" -> d03Sql,
+    "d04_exact_dup_groups" -> d04Sql)
+}

@@ -1,0 +1,313 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Relational operator surface: aggregation, joins (broadcast / semi / anti),
+  * windows, set ops, rollup, top-k. These are the Spark-native counterparts of
+  * the reference's aggregation + query layer (SURVEY.md §2.5, §2.8 A1-A5,
+  * Q1/Q5/Q6/Q9 shapes) expressed over the driver-provided TPC-H-ish tables so
+  * that every one has an exact DuckDB oracle.
+  *
+  * Oracle-parity rules used throughout (driver hashes values after sorting
+  * columns by name):
+  *  - money/quantity sums go through DECIMAL(18,2) (exact, order-independent)
+  *    and are cast back to DOUBLE so the output schema is identical in both
+  *    engines;
+  *  - year()/month() are cast to INT explicitly (DuckDB returns BIGINT);
+  *  - every query ends in a deterministic ORDER BY with a unique tiebreak.
+  */
+object Relational {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def sumDec(c: Column): Column = sum(dec(c)).cast(DoubleType)
+
+  // Q1-style pricing summary (reference analytics counters A1/A2/A5 algebra:
+  // partial+final agg — analytics.py:278-283).
+  def q01PricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sumDec(col("l_quantity")).as("sum_qty"),
+        sumDec(col("l_extendedprice")).as("sum_base_price"),
+        // price and discount are exact 2-dec values ⇒ the product is an exact
+        // 4-dec value ⇒ DECIMAL(18,4) rounds identically in Spark and DuckDB
+        // (never at a rounding tie).
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 4))).cast(DoubleType).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // Events per year (reference Q1, events_per_year.py:37-41: COUNT DISTINCT
+  // per year — Catalyst partial+final agg replaces the manual shard merge).
+  def q02EventsPerYear(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(year(col("ts")).cast(IntegerType).as("y"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("y"))
+
+  val q02Sql: String =
+    """SELECT CAST(year(ts) AS INT) AS y, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1 ORDER BY y""".stripMargin
+
+  // Multi-hop dimension join, all dims broadcast (reference J1-J7 are
+  // broadcast dictionary joins; this is the relational proof of the shape).
+  def q03RegionRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sumDec(col("o_totalprice")).as("revenue"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  val q03Sql: String =
+    """SELECT r_name, n_name, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  // Ranking window: top-3 customers by revenue within each nation.
+  def q04TopCustomersPerNation(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sumDec(col("o_totalprice")).as("revenue"))
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("revenue").desc, col("o_custkey"))
+    rev
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("n_name"), col("rk"), col("o_custkey").as("custkey"), col("revenue"))
+      .orderBy(col("n_name"), col("rk"))
+  }
+
+  val q04Sql: String =
+    """WITH rev AS (
+      |  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT n_name, rk, custkey, revenue FROM (
+      |  SELECT n_name, o_custkey AS custkey, revenue,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY revenue DESC, o_custkey) AS INT) AS rk
+      |  FROM rev JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey) t
+      |WHERE rk <= 3 ORDER BY n_name, rk""".stripMargin
+
+  // Semi join (EXISTS): orders having at least one line shipped after a date.
+  def q05SemiJoin(s: SparkSession, d: String): DataFrame = {
+    val late = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast(TimestampType))
+      .select(col("l_orderkey"))
+    Tables.orders(s, d)
+      .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q05Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders
+      |FROM orders WHERE EXISTS (
+      |  SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey AND l_shipdate >= TIMESTAMP '1998-01-01')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // Anti join (NOT EXISTS / FILTER NOT EXISTS in reference Q5,
+  // create_topic_graph.py:363-393): customers without recent orders.
+  def q06AntiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("2001-06-01").cast(TimestampType))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+
+  val q06Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers
+      |FROM customer WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-06-01')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // Histogram / ValueDict (reference A3: string→count sorted by count desc).
+  def q07EventTypeHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("event_type"))
+
+  val q07Sql: String =
+    """SELECT event_type, COUNT(*) AS n FROM events
+      |GROUP BY event_type ORDER BY n DESC, event_type""".stripMargin
+
+  // Cumulative window (reference Q9 hit-ratio running sum,
+  // hit_ratio_per_month.py:36-71): per-type running event count by hour.
+  def q08RunningCounts(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).cast(TimestampNTZType).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hourly.withColumn("running_n", sum(col("n")).over(w))
+      .orderBy(col("event_type"), col("h"))
+  }
+
+  val q08Sql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, h, n,
+      |  CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY h
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_n
+      |FROM hourly ORDER BY event_type, h""".stripMargin
+
+  // Time-bucketed aggregation (streaming-window batch equivalent).
+  def q09HourlyBuckets(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).cast(TimestampNTZType).as("h"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
+      .orderBy(col("h"))
+
+  val q09Sql: String =
+    """SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY h""".stripMargin
+
+  // Fact-to-dim broadcast join + group (part side broadcast).
+  def q10BrandVolume(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sumDec(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("p_brand"))
+
+  val q10Sql: String =
+    """SELECT p_brand, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // Set op: union + distinct (reference D1/D2 graph-union set semantics).
+  def q11NationUnion(s: SparkSession, d: String): DataFrame = {
+    val custNations = Tables.customer(s, d).select(col("c_nationkey").cast(IntegerType).as("nationkey"))
+    val suppNations = Tables.supplier(s, d).select(col("s_nationkey").cast(IntegerType).as("nationkey"))
+    custNations.union(suppNations).distinct()
+      .join(broadcast(Tables.nation(s, d)), col("nationkey") === col("n_nationkey"))
+      .select(col("n_name"))
+      .orderBy(col("n_name"))
+  }
+
+  val q11Sql: String =
+    """SELECT n_name FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  UNION SELECT s_nationkey FROM supplier) t
+      |JOIN nation ON nationkey = n_nationkey ORDER BY n_name""".stripMargin
+
+  // Global top-k with deterministic tiebreak (reference: Nominatim limit 1 /
+  // label-sort top-k shapes). TakeOrderedAndProject — no full sort at scale.
+  def q12TopOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+
+  val q12Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  // ROLLUP (monthly/yearly/grand-total in one pass — reference A5 merge
+  // across months).
+  def q13OrdersRollup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        year(col("o_orderdate")).cast(IntegerType).as("y"),
+        month(col("o_orderdate")).cast(IntegerType).as("m"))
+      .rollup(col("y"), col("m"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("y").asc_nulls_first, col("m").asc_nulls_first)
+
+  val q13Sql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS y,
+      |  CAST(month(o_orderdate) AS INT) AS m, COUNT(*) AS n_orders
+      |FROM orders GROUP BY ROLLUP (y, m)
+      |ORDER BY y ASC NULLS FIRST, m ASC NULLS FIRST""".stripMargin
+
+  // lag/lead window (reference sentence prev/next chaining,
+  // outputRdf.py:504-518).
+  def q14UserEventDeltas(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .filter(col("user_id") < 100)
+      .withColumn("prev_event_id", lag(col("event_id"), 1).over(w))
+      .withColumn("delta_value", col("value") - lag(col("value"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("prev_event_id"), col("delta_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q14Sql: String =
+    """SELECT user_id, event_id,
+      |  LAG(event_id, 1) OVER w AS prev_event_id,
+      |  value - LAG(value, 1) OVER w AS delta_value
+      |FROM events WHERE user_id < 100
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_events_per_year" -> (q02EventsPerYear _),
+    "q03_region_revenue" -> (q03RegionRevenue _),
+    "q04_top_customers_per_nation" -> (q04TopCustomersPerNation _),
+    "q05_semi_join" -> (q05SemiJoin _),
+    "q06_anti_join" -> (q06AntiJoin _),
+    "q07_event_type_histogram" -> (q07EventTypeHistogram _),
+    "q08_running_counts" -> (q08RunningCounts _),
+    "q09_hourly_buckets" -> (q09HourlyBuckets _),
+    "q10_brand_volume" -> (q10BrandVolume _),
+    "q11_nation_union" -> (q11NationUnion _),
+    "q12_top_orders" -> (q12TopOrders _),
+    "q13_orders_rollup" -> (q13OrdersRollup _),
+    "q14_user_event_deltas" -> (q14UserEventDeltas _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_events_per_year" -> q02Sql,
+    "q03_region_revenue" -> q03Sql,
+    "q04_top_customers_per_nation" -> q04Sql,
+    "q05_semi_join" -> q05Sql,
+    "q06_anti_join" -> q06Sql,
+    "q07_event_type_histogram" -> q07Sql,
+    "q08_running_counts" -> q08Sql,
+    "q09_hourly_buckets" -> q09Sql,
+    "q10_brand_volume" -> q10Sql,
+    "q11_nation_union" -> q11Sql,
+    "q12_top_orders" -> q12Sql,
+    "q13_orders_rollup" -> q13Sql,
+    "q14_user_event_deltas" -> q14Sql)
+}

@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Similarity search over the `embeddings` table (vec_id, embedding:
+  * array<float> dim=64, label).
+  *
+  * s01: brute-force cosine top-k — the correctness baseline. The query set is
+  *      broadcast; the scan side streams once; per-row score is a codegen'd
+  *      higher-order-function fold (no UDF).
+  * s02: random-hyperplane LSH ANN — the scale path. Hyperplane signs are
+  *      derived deterministically from md5 so the DuckDB oracle reproduces
+  *      them; candidates are restricted to the query's bucket.
+  * s03: IVF-style partitioned search using label as the coarse partition
+  *      (nearest-centroid probe); ScalaTest-verified (float centroid math is
+  *      not bit-portable to an external oracle).
+  *
+  * Scores are emitted as floor(sim*1e6) BIGINT; all arithmetic is elementwise
+  * float→double (exact in both engines) so oracles match.
+  */
+object Similarity {
+
+  private val Dim = 64
+  private val NQueries = 5 // query set: vec_id < 5
+  private val K = 10
+
+  private val dotExpr =
+    "aggregate(zip_with(qe, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+  private val qnormExpr =
+    "sqrt(aggregate(transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
+      "CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+  private val cnormExpr = qnormExpr.replace("qe", "ce")
+
+  def s01KnnBrute(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val cands = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+    val scored = cands.join(broadcast(queries), col("cand_id") =!= col("query_id"))
+      .selectExpr("query_id", "cand_id",
+        s"CASE WHEN $qnormExpr * $cnormExpr = 0 THEN CAST(-2000000 AS BIGINT) " +
+          s"ELSE CAST(floor(1e6 * $dotExpr / ($qnormExpr * $cnormExpr)) AS BIGINT) END AS sim_e6")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_e6").desc, col("cand_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K)
+      .select(col("query_id"), col("rk"), col("cand_id"), col("sim_e6"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val s01Sql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $NQueries),
+       |scored AS (
+       |  SELECT query_id, c.vec_id AS cand_id,
+       |    CAST(floor(1e6 *
+       |      (SELECT SUM(CAST(qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))
+       |       FROM generate_series(1, $Dim) t(i)) /
+       |      (sqrt((SELECT SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))
+       |             FROM generate_series(1, $Dim) t(i))) *
+       |       sqrt((SELECT SUM(CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))
+       |             FROM generate_series(1, $Dim) t(i))))) AS BIGINT) AS sim_e6
+       |  FROM embeddings c, q WHERE c.vec_id <> query_id)
+       |SELECT query_id, rk, cand_id, sim_e6 FROM (
+       |  SELECT query_id, cand_id, sim_e6,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_e6 DESC, cand_id) AS INT) AS rk
+       |  FROM scored) t
+       |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin
+
+  // ---- s02: hyperplane-LSH bucketed ANN ------------------------------------
+  private val NPlanes = 8
+
+  /** Buckets for every vector: plane sign(p,i) = ±1 from md5 parity. */
+  private def buckets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planes = s.range(NPlanes).select(col("id").cast(IntegerType).as("p"))
+      .selectExpr("p", s"explode(sequence(1, $Dim)) AS i")
+      .selectExpr("p", "i",
+        "CASE WHEN (instr('0123456789abcdef', substr(md5(concat('pl', p, '_', i)), 1, 1)) - 1) % 2 = 0 " +
+          "THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS sgn")
+    val comps = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .selectExpr("vec_id", "pos + 1 AS i", "CAST(x AS DOUBLE) AS x")
+    comps.join(broadcast(planes), Seq("i"))
+      .groupBy(col("vec_id"), col("p"))
+      .agg(sum(col("sgn") * col("x")).as("proj"))
+      .selectExpr("vec_id",
+        "CASE WHEN proj > 0 THEN shiftleft(1, p) ELSE 0 END AS bit")
+      .groupBy(col("vec_id"))
+      .agg(sum(col("bit")).as("bucket"))
+  }
+
+  def s02AnnLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val bk = buckets(s, d)
+    val vecs = emb.join(bk, Seq("vec_id"))
+    val queries = vecs.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
+    val cands = vecs.select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("bucket"))
+    val scored = cands.join(broadcast(queries), Seq("bucket"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .selectExpr("query_id", "cand_id",
+        s"CASE WHEN $qnormExpr * $cnormExpr = 0 THEN CAST(-2000000 AS BIGINT) " +
+          s"ELSE CAST(floor(1e6 * $dotExpr / ($qnormExpr * $cnormExpr)) AS BIGINT) END AS sim_e6")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_e6").desc, col("cand_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K)
+      .select(col("query_id"), col("rk"), col("cand_id"), col("sim_e6"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val s02Sql: String = {
+    // The float accumulation order for `proj` differs between engines only at
+    // ~1ulp; the sign test is safe because projections are O(1)-magnitude.
+    s"""WITH planes AS (
+       |  SELECT p, i,
+       |    CASE WHEN (instr('0123456789abcdef', substr(md5('pl' || p || '_' || i), 1, 1)) - 1) % 2 = 0
+       |      THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS sgn
+       |  FROM generate_series(0, ${NPlanes - 1}) tp(p), generate_series(1, $Dim) ti(i)),
+       |projs AS (
+       |  SELECT e.vec_id, pl.p, SUM(pl.sgn * CAST(e.embedding[pl.i] AS DOUBLE)) AS proj
+       |  FROM embeddings e, planes pl GROUP BY e.vec_id, pl.p),
+       |bk AS (
+       |  SELECT vec_id, SUM(CASE WHEN proj > 0 THEN 1 << p ELSE 0 END) AS bucket
+       |  FROM projs GROUP BY vec_id),
+       |vecs AS (SELECT e.vec_id, e.embedding, bk.bucket FROM embeddings e JOIN bk USING (vec_id)),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM vecs WHERE vec_id < $NQueries),
+       |scored AS (
+       |  SELECT query_id, c.vec_id AS cand_id,
+       |    CAST(floor(1e6 *
+       |      (SELECT SUM(CAST(qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))
+       |       FROM generate_series(1, $Dim) t(i)) /
+       |      (sqrt((SELECT SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))
+       |             FROM generate_series(1, $Dim) t(i))) *
+       |       sqrt((SELECT SUM(CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))
+       |             FROM generate_series(1, $Dim) t(i))))) AS BIGINT) AS sim_e6
+       |  FROM vecs c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id)
+       |SELECT query_id, rk, cand_id, sim_e6 FROM (
+       |  SELECT query_id, cand_id, sim_e6,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_e6 DESC, cand_id) AS INT) AS rk
+       |  FROM scored) t
+       |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin
+  }
+
+  // ---- s03: IVF-style probe via label partitions (no external oracle) ------
+  def s03IvfTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val comps = emb
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .selectExpr("vec_id", "label", "pos", "CAST(x AS DOUBLE) AS x")
+    val centroids = comps.groupBy(col("label"), col("pos"))
+      .agg(avg(col("x")).as("c"))
+      .groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("cs"))
+      .selectExpr("label", "transform(cs, s -> s.c) AS centroid")
+    val queries = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    // probe: 2 nearest centroids per query (by dot product)
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("cdot").desc, col("label"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .selectExpr("query_id", "qe", "label",
+        "aggregate(zip_with(qe, centroid, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (a, v) -> a + v) AS cdot")
+      .withColumn("prk", row_number().over(probeW))
+      .filter(col("prk") <= 2)
+      .select(col("query_id"), col("qe"), col("label"))
+    val cands = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("label"))
+    val scored = cands.join(broadcast(probes), Seq("label"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .selectExpr("query_id", "cand_id",
+        s"CAST(floor(1e6 * $dotExpr / ($qnormExpr * $cnormExpr)) AS BIGINT) AS sim_e6")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim_e6").desc, col("cand_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K)
+      .select(col("query_id"), col("rk"), col("cand_id"), col("sim_e6"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_knn_brute" -> (s01KnnBrute _),
+    "s02_ann_lsh" -> (s02AnnLsh _),
+    "s03_ivf_topk" -> (s03IvfTopk _))
+
+  val oracleSql: Map[String, String] = Map(
+    "s01_knn_brute" -> s01Sql,
+    "s02_ann_lsh" -> s02Sql)
+}
