@@ -1,18 +1,193 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.kg._
+import graft.canon.ConnectedComponents
 
-/** KG-construction pipeline facade (synth corpus → parse → enrich → canon →
-  * emit). Queries land here as the pipeline modules are built (SURVEY.md §7
-  * build order); they are rows-only checked by the driver and P/R-gated by
-  * ScalaTest fixtures.
+/** KG-construction pipeline facade: deterministic synthetic span corpus →
+  * parse → enrich → canonicalize → triples (graft.kg.Pipeline), plus the
+  * read-side query surface mirroring the reference's SPARQL analytics layer
+  * (SURVEY.md §2.8 Q1-Q9). These queries have no SQL oracle (the corpus is
+  * engine-side); they are rows-only checked by the driver and P/R-gated by
+  * ScalaTest fixtures against the model oracle.
   */
 object KgPipeline {
 
+  // cache the triple table per sf dir — queries share one pipeline run
+  private val cache = scala.collection.concurrent.TrieMap.empty[String, Dataset[Triple]]
+
+  def triples(spark: SparkSession, sfDir: String): Dataset[Triple] =
+    cache.getOrElseUpdate(sfDir, {
+      val t = Pipeline.triples(spark, sfDir)
+      t.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      t
+    })
+
   /** Flagship: full pipeline at tiny scale — returns the triple DataFrame. */
   def entry(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/documents.parquet").limit(1)
+    triples(spark, sfDir).toDF()
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  // Q8: triple count per graph module (avg_graph_module_size.py:43-46)
+  def kg01ModuleCounts(s: SparkSession, d: String): DataFrame =
+    triples(s, d).groupBy(col("graph_module"))
+      .agg(count(lit(1)).as("n_triples"))
+      .orderBy(col("graph_module"))
+
+  // Q1: events per year (events_per_year.py:37-41)
+  def kg02EventsPerYear(s: SparkSession, d: String): DataFrame = {
+    val t = triples(s, d)
+    t.filter(col("pred") === Ns.COY + "hasMentionDate" &&
+        col("subj").startsWith(Ns.events))
+      .select(col("subj"), substring(col("obj"), 1, 4).as("y"))
+      .distinct()
+      .groupBy(col("y")).agg(countDistinct(col("subj")).as("n_events"))
+      .orderBy(col("y"))
+  }
+
+  // Q2: distinct topics per year (events_per_year.py:73-97)
+  def kg03TopicsPerYear(s: SparkSession, d: String): DataFrame = {
+    val t = triples(s, d)
+    val topicUris = t.filter(col("pred") === Ns.rdfType && col("obj") === Ns.COY + "TextTopic")
+      .select(col("subj"))
+    t.filter(col("pred") === Ns.COY + "hasMentionDate")
+      .join(topicUris, Seq("subj"), "left_semi")
+      .select(col("subj"), substring(col("obj"), 1, 4).as("y"))
+      .distinct()
+      .groupBy(col("y")).agg(count(lit(1)).as("n_topics"))
+      .orderBy(col("y"))
+  }
+
+  // Q3: transitive isOccuringDuring closure from a seed topic, events per
+  // month (create_events_per_month_diagram.py:31-38) — bounded iterative join
+  def kg04ClosureEventsPerMonth(s: SparkSession, d: String): DataFrame = {
+    val t = triples(s, d)
+    val edges = t.filter(col("pred") === Ns.COY + "isOccuringDuring")
+      .select(col("subj").as("child"), col("obj").as("parent"))
+      .persist()
+    // seed: the most-referenced parent topic (deterministic)
+    val seed = edges.groupBy(col("parent")).count()
+      .orderBy(col("count").desc, col("parent")).limit(1).select(col("parent"))
+    var reach = seed.withColumnRenamed("parent", "node").localCheckpoint(true)
+    var frontier = reach
+    var done = false
+    var it = 0
+    while (!done && it < 8) { // day-page nesting is bounded (≤4)
+      val next = edges.join(frontier.withColumnRenamed("node", "parent"), Seq("parent"))
+        .select(col("child").as("node")).distinct()
+        .join(reach, Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else { reach = reach.union(next).localCheckpoint(true); frontier = next }
+      it += 1
+    }
+    val eventDates = t.filter(col("pred") === Ns.COY + "hasMentionDate" &&
+        col("subj").startsWith(Ns.events))
+      .select(col("subj").as("node"), substring(col("obj"), 1, 7).as("ym"))
+    eventDates.join(reach, Seq("node"), "left_semi")
+      .groupBy(col("ym")).agg(count(lit(1)).as("n_events"))
+      .orderBy(col("ym"))
+  }
+
+  // Q4: per-day event-location WKTs via the multi-hop chain
+  // event→context→sentence→phrase→article→(sameAs→osm | osm) (create_event_map.py:441-461)
+  def kg05EventMapWkts(s: SparkSession, d: String): DataFrame = {
+    val t = triples(s, d).persist()
+    def p(pred: String) = t.filter(col("pred") === pred)
+    val evCtx = p(Ns.COY + "isIdentifiedBy").select(col("subj").as("event"), col("obj").as("ctx"))
+    val ctxSent = p(Ns.NIF + "subString").select(col("subj").as("ctx"), col("obj").as("sent"))
+      .filter(col("sent").startsWith(Ns.sentences))
+    val sentPhrase = p(Ns.NIF + "subString").select(col("subj").as("sent"), col("obj").as("phrase"))
+      .filter(col("phrase").startsWith(Ns.phrases))
+    val phraseArt = p(Ns.GN + "wikipediaArticle")
+      .filter(col("subj").startsWith(Ns.phrases))
+      .select(col("subj").as("phrase"), col("obj").as("article"))
+    val sameAs = p(Ns.owlSameAs).select(col("subj").as("article"), col("obj").as("wd"))
+    val hasOsm = p(Ns.COY + "hasOsmElement").select(col("subj").as("holder"), col("obj").as("osm"))
+    val wkt = p(Ns.GEO + "asWKT").select(col("subj").as("osm"), col("obj").as("wkt"))
+    val dates = p(Ns.COY + "hasMentionDate").select(col("subj").as("event"), col("obj").as("date"))
+
+    val artOsm = sameAs.join(hasOsm, sameAs("wd") === hasOsm("holder")).select(col("article"), col("osm"))
+      .unionByName(hasOsm.withColumnRenamed("holder", "article").select(col("article"), col("osm")))
+    evCtx.join(ctxSent, "ctx").join(sentPhrase, "sent").join(phraseArt, "phrase")
+      .join(artOsm, "article").join(wkt, "osm").join(dates, "event")
+      .select(col("date"), col("event"), col("article"), col("wkt"))
+      .distinct()
+      .orderBy(col("date"), col("event"), col("article"), col("wkt"))
+  }
+
+  // Q5: topic graph with labels and earliest mention date, pure TextTopics
+  // via anti-join (create_topic_graph.py:363-393)
+  def kg06TopicGraph(s: SparkSession, d: String): DataFrame = {
+    val t = triples(s, d)
+    val topics = t.filter(col("pred") === Ns.rdfType && col("obj") === Ns.COY + "TextTopic")
+      .select(col("subj").as("topic"))
+    val articleTopics = t.filter(col("pred") === Ns.rdfType && col("obj") === Ns.COY + "ArticleTopic")
+      .select(col("subj").as("topic"))
+    val pureText = topics.join(articleTopics, Seq("topic"), "left_anti")
+    val labels = t.filter(col("pred") === Ns.rdfsLabel)
+      .select(col("subj").as("topic"), col("obj").as("label"))
+    val parents = t.filter(col("pred") === Ns.COY + "isOccuringDuring")
+      .select(col("subj").as("topic"), col("obj").as("parent"))
+    val dates = t.filter(col("pred") === Ns.COY + "hasMentionDate")
+      .select(col("subj").as("topic"), col("obj").as("dt"))
+    topics
+      .join(labels, Seq("topic"), "left")
+      .join(parents, Seq("topic"), "left")
+      .join(dates, Seq("topic"), "left")
+      .withColumn("is_pure_text", col("topic").isin() || lit(false)) // placeholder replaced below
+      .drop("is_pure_text")
+      .join(pureText.withColumn("pure", lit(1)), Seq("topic"), "left")
+      .groupBy(col("topic"), col("parent"))
+      .agg(min(col("label")).as("label"), min(col("dt")).as("earliest"),
+        max(coalesce(col("pure"), lit(0))).as("is_pure_text"))
+      .orderBy(col("topic"), col("parent"))
+  }
+
+  // Q6: event × wikidata event-type rows (company_events_per_month_diagram.py:59-77)
+  def kg07EventTypes(s: SparkSession, d: String): DataFrame = {
+    val t = triples(s, d)
+    val types = t.filter(col("pred") === Ns.COY + "hasWikidataEventType")
+      .select(col("subj").as("event"), col("obj").as("wd_class"))
+    val labels = t.filter(col("pred") === Ns.rdfsLabel)
+      .select(col("subj").as("wd_class"), col("obj").as("class_label"))
+    types.join(labels, Seq("wd_class"), "left")
+      .select(col("event"), col("wd_class"), col("class_label"))
+      .distinct()
+      .orderBy(col("event"), col("wd_class"))
+  }
+
+  // Canonicalization: connected components over owl:sameAs (north rule) —
+  // cluster table mapping every aliased entity to its canonical id.
+  def kg08CanonicalClusters(s: SparkSession, d: String): DataFrame = {
+    val t = triples(s, d)
+    val edges = t.filter(col("pred") === Ns.owlSameAs)
+      .select(col("subj"), col("obj")).distinct()
+    ConnectedComponents.run(edges)
+      .withColumnRenamed("node", "entity")
+      .withColumnRenamed("comp", "canonical_id")
+      .orderBy(col("entity"))
+  }
+
+  // A4: per-partition lineage metrics in one agg pass (analytics.py counters)
+  def kg09PartitionMetrics(s: SparkSession, d: String): DataFrame =
+    triples(s, d).groupBy(col("event_date"), col("graph_module"))
+      .agg(
+        count(lit(1)).as("n_triples"),
+        countDistinct(col("subj")).as("n_subjects"),
+        sum(when(col("obj_is_iri"), 1L).otherwise(0L)).as("n_iri_objects"))
+      .orderBy(col("event_date"), col("graph_module"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kg01_module_counts" -> (kg01ModuleCounts _),
+    "kg02_events_per_year" -> (kg02EventsPerYear _),
+    "kg03_topics_per_year" -> (kg03TopicsPerYear _),
+    "kg04_closure_events_per_month" -> (kg04ClosureEventsPerMonth _),
+    "kg05_event_map_wkts" -> (kg05EventMapWkts _),
+    "kg06_topic_graph" -> (kg06TopicGraph _),
+    "kg07_event_types" -> (kg07EventTypes _),
+    "kg08_canonical_clusters" -> (kg08CanonicalClusters _),
+    "kg09_partition_metrics" -> (kg09PartitionMetrics _))
+
   def oracleSql: Map[String, String] = Map()
 }

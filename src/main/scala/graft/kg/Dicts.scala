@@ -1,0 +1,116 @@
+package graft.kg
+
+/** Deterministic dictionary tables standing in for the reference's remote
+  * services (FIXTURES.md §2): Wikidata labels / parent locations / OSM ids /
+  * one-hop subgraphs / wd→wp urls, Falcon 2.0 entity linking, Nominatim
+  * geocoding, and the place-template set. Key frequencies follow the corpus'
+  * Zipf link skew (head entities referenced from most docs).
+  */
+object Dicts {
+  import Synth._
+
+  case class WdLabel(wd_id: String, label: String, lang: String)
+  case class WdParentLoc(child_wd: String, parent_wd: String)
+  case class WdOsm(wd_id: String, osm_rel_ids: Seq[String], osm_objs: Seq[String])
+  case class OnehopRow(subj_wd: String, pred: String, obj: String,
+      obj_is_iri: Boolean, obj_dtype: Option[String], obj_lang: Option[String])
+  case class Wd2Wp(wd_id: String, wp_url: String)
+  case class Falcon2(text: String, wd_entities: Seq[String])
+  case class NominatimRow(key: String, osm_id: Long, osm_type: String, wkt: String)
+
+  val placeTemplates: Set[String] = Set(
+    "Template:Infobox_settlement", "Template:Infobox_country",
+    "Template:Infobox_islands", "Template:Infobox_french_commune")
+
+  val nClasses = 30
+
+  def classLabels: Seq[WdLabel] =
+    (1 to nClasses).flatMap { c =>
+      Seq(WdLabel(s"Q$c", s"instance class $c", "en"),
+        WdLabel(s"Q$c", s"Klasse $c", "de")) // filtered out by lang='en'
+    }
+
+  def wdIdOf(articleIdx: Int): String = s"Q${articleIdx + 100}"
+
+  /** P31 classes of an article's wd entity (1-2, hash-chosen). */
+  def p31ClassesFor(i: Int): Seq[String] = {
+    val s = h(23L, i.toLong)
+    (0 until (1 + pick(2, s, 1))).map(j => s"Q${1 + pick(nClasses, s, 2, j.toLong)}").distinct
+  }
+
+  /** One-hop subgraph rows for Q(i+100); head entities (low idx) are large —
+    * the skew hotspot (SURVEY.md §4.1).
+    */
+  def onehopFor(i: Int): Seq[OnehopRow] = {
+    val wd = wdIdOf(i)
+    val subj = Ns.WD + wd
+    val s = h(29L, i.toLong)
+    val p31 = p31ClassesFor(i).map(c =>
+      OnehopRow(subj, "http://www.wikidata.org/prop/direct/P31", Ns.WD + c, obj_is_iri = true, None, None))
+    val extraN = if (i < 5) 40 else 2 + pick(4, s, 1)
+    val extra = (0 until extraN).map { j =>
+      val js = h(s, j.toLong)
+      val pred = s"http://www.wikidata.org/prop/direct/P${17 + pick(40, js, 1)}"
+      pick(10, js, 2) match {
+        case k if k < 5 =>
+          OnehopRow(subj, pred, Ns.WD + s"Q${100 + pick(5000, js, 3)}", obj_is_iri = true, None, None)
+        case k if k < 8 =>
+          OnehopRow(subj, pred, s"value ${pick(1000, js, 4)}", obj_is_iri = false,
+            Some(Ns.xsdString), Some("en"))
+        case _ =>
+          OnehopRow(subj, pred, s"${pick(10000, js, 5)}.${pick(100, js, 6)}", obj_is_iri = false,
+            Some(Ns.xsdDecimal), None)
+      }
+    }
+    p31 ++ extra
+  }
+
+  /** OSM ids from wd (P402 relation ids / P10689 objects), including some
+    * invalid entries the validation filters drop (wikidataService.py:182-224).
+    */
+  def osmFor(i: Int): (Seq[String], Seq[String]) = {
+    val s = h(31L, i.toLong)
+    pick(10, s, 1) match {
+      case k if k < 4 => (Seq((i * 7 + 11).toString), Nil)
+      case k if k < 6 => (Nil, Seq(s"way/${i * 3 + 5}"))
+      case 6 => (Nil, Seq(s"node/${i * 3 + 7}", s"area/${i}")) // area/ invalid
+      case _ => (Nil, Nil)
+    }
+  }
+
+  /** Parent location edge for the P1647+ closure dictionary. */
+  def parentLocFor(p: Params, i: Int): Option[WdParentLoc] =
+    if (i > 0 && chance(2, 3, h(37L, i.toLong))) {
+      val parent = i / 4
+      val pa = article(p, parent)
+      if (pa.wdId.isDefined && parent != i) Some(WdParentLoc(wdIdOf(i), wdIdOf(parent)))
+      else None
+    } else None
+
+  /** Falcon 2.0 entity linking keyed by raw location-value text
+    * (falcon2Service.py:45-91).
+    */
+  def falconEntitiesFor(nArticles: Int, text: String): Seq[String] = {
+    val s = h(41L, text.hashCode.toLong)
+    val n = pick(3, s, 1) // 0-2 entities
+    (0 until n).map(j => Ns.WD + wdIdOf(zipf(nArticles, s, 2, j.toLong))).distinct
+  }
+
+  /** Nominatim top-1 geocoding (nominatimService.py:47-51); ~10% misses. */
+  def nominatimFor(key: String): Option[KOsmElement] = {
+    val s = h(43L, key.hashCode.toLong)
+    if (chance(1, 10, s, 1)) None
+    else {
+      val id = 1 + (Math.floorMod(h(s, 2), 1000000L))
+      val tpes = Array("relation", "way", "node")
+      val tpe: String =
+        if (key.startsWith("relation/")) "relation"
+        else if (key.startsWith("way/")) "way"
+        else if (key.startsWith("node/")) "node"
+        else tpes(pick(3, s, 3))
+      val x = (pick(3600, s, 4) - 1800) / 10.0
+      val y = (pick(1700, s, 5) - 850) / 10.0
+      Some(KOsmElement(id, tpe, f"POINT($x%.1f $y%.1f)"))
+    }
+  }
+}

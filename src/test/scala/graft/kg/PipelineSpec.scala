@@ -1,0 +1,51 @@
+package graft.kg
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("pipeline triples match the sequential oracle at P/R >= 0.95 (exact)") {
+    val sfDir = "/root/testdata/sf0.001" // params: 2 months, 240 articles
+    val p = Synth.paramsFor(sfDir)
+    val got = Pipeline.triples(spark, sfDir).collect().toSet
+    val expected = Oracle.expectedTriples(p)
+    val tp = (got & expected).size.toDouble
+    val precision = if (got.nonEmpty) tp / got.size else 0.0
+    val recall = if (expected.nonEmpty) tp / expected.size else 0.0
+    if (precision < 1.0 || recall < 1.0) {
+      val fp = (got -- expected).take(5)
+      val fn = (expected -- got).take(5)
+      info(s"precision=$precision recall=$recall got=${got.size} expected=${expected.size}")
+      fp.foreach(t => info(s"FP: $t"))
+      fn.foreach(t => info(s"FN: $t"))
+    }
+    assert(precision >= 0.95, s"precision $precision")
+    assert(recall >= 0.95, s"recall $recall")
+    // the gate is 0.95; the wiring itself should be exact
+    assert(precision == 1.0 && recall == 1.0, "wiring should be exact vs oracle")
+  }
+
+  test("triple set is deterministic under different parallelism") {
+    val sfDir = "/root/testdata/sf0.001"
+    val a = Pipeline.triples(spark, sfDir).collect().toSet
+    val b = Pipeline.triples(spark, sfDir).repartition(3).collect().toSet
+    assert(a == b)
+  }
+
+  test("all four graph modules are populated, osm > base per-article shape") {
+    val sfDir = "/root/testdata/sf0.001"
+    val counts = Pipeline.triples(spark, sfDir)
+      .groupBy("graph_module").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(Set("base", "raw", "osm", "ohg").subsetOf(counts.keySet))
+    assert(counts.values.forall(_ > 0))
+  }
+}
