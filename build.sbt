@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // Spark whole-stage codegen churns thousands of generated classes; the
+  // JDK default 240m code cache fills after a few repeated query runs, the
+  // JIT silently disables, and everything drops ~5-10x to interpreter speed.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
+) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").map(_.split(" ").toSeq).getOrElse(Seq())

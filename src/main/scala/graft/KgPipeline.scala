@@ -169,6 +169,34 @@ object KgPipeline {
       .orderBy(col("entity"))
   }
 
+  // Q7: location-classifier evaluation vs labeled ground truth
+  // (location_classification_diagram.py:173-213): per-article predicted flag
+  // (the engine's P14 classifier) against the synthetic corpus' intent label,
+  // aggregated to precision/recall/accuracy ×1e6 (exact integer arithmetic).
+  def kg10LocationEval(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = Synth.paramsFor(d)
+    val labeled = s.range(p.articles).map { i =>
+      val a = Synth.article(p, i.toInt)
+      // ground truth: the generator's location intent (the "hand label")
+      val intended = Synth.chance(2, 5, Synth.h(7L, i.toLong), 1)
+      (a.url, intended, a.exists && !a.isNamespace)
+    }.toDF("url", "labeled", "resolvable")
+    val predicted = Pipeline.enrichedArticles(s, p)
+      .select(col("url"), col("locationFlag").as("predicted"))
+    labeled.filter(col("resolvable"))
+      .join(predicted, Seq("url"), "inner")
+      .agg(
+        sum(when(col("labeled") && col("predicted"), 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("labeled") && col("predicted"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("labeled") && !col("predicted"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("labeled") && !col("predicted"), 1L).otherwise(0L)).as("tn"))
+      .selectExpr("tp", "fp", "fn", "tn",
+        "(1000000 * tp) DIV greatest(tp + fp, 1) AS precision_e6",
+        "(1000000 * tp) DIV greatest(tp + fn, 1) AS recall_e6",
+        "(1000000 * (tp + tn)) DIV greatest(tp + fp + fn + tn, 1) AS accuracy_e6")
+  }
+
   // A4: per-partition lineage metrics in one agg pass (analytics.py counters)
   def kg09PartitionMetrics(s: SparkSession, d: String): DataFrame =
     triples(s, d).groupBy(col("event_date"), col("graph_module"))
@@ -187,7 +215,8 @@ object KgPipeline {
     "kg06_topic_graph" -> (kg06TopicGraph _),
     "kg07_event_types" -> (kg07EventTypes _),
     "kg08_canonical_clusters" -> (kg08CanonicalClusters _),
-    "kg09_partition_metrics" -> (kg09PartitionMetrics _))
+    "kg09_partition_metrics" -> (kg09PartitionMetrics _),
+    "kg10_location_eval" -> (kg10LocationEval _))
 
   def oracleSql: Map[String, String] = Map()
 }

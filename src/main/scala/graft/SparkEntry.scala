@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{Dedup, Graph, Relational, Similarity, TextAnalysis}
+import graft.multimodal.Multimodal
+import graft.streaming.StreamingQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,9 +21,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
-      Similarity.queries ++ Graph.queries ++ KgPipeline.queries
+      Similarity.queries ++ Graph.queries ++ Multimodal.queries ++
+      StreamingQueries.queries ++ KgPipeline.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ TextAnalysis.oracleSql ++ Dedup.oracleSql ++
-      Similarity.oracleSql ++ Graph.oracleSql ++ KgPipeline.oracleSql
+      Similarity.oracleSql ++ Graph.oracleSql ++ Multimodal.oracleSql ++
+      StreamingQueries.oracleSql ++ KgPipeline.oracleSql
 }

@@ -164,8 +164,11 @@ object DayPageParser {
     var date = ""
     var sourceUrl = ""
     var category: Option[String] = None
+    // D4: reference numbers must be unique per page (extraction.py:397
+    // asserts); we keep the first occurrence instead of failing the row
     val references = spans.filter(_.kind == "cite_note")
       .map(s => KReference(s.offset, s.media_ref, s.text))
+      .distinctBy(_.nr)
     val refByNr = references.map(r => r.nr -> r).toMap
 
     val events = Seq.newBuilder[KEvent]

@@ -6,36 +6,43 @@ import org.apache.spark.storage.StorageLevel
 
 /** The KG-construction dataflow (SURVEY.md §3.1 Spark shape):
   *
-  *   docs(day pages)    —mapPartitions P1-P9→  events + topics
+  *   docs(day pages)    —mapPartitions P1-P9→  ParsedDay(events, topics)
   *   docs(article pages)—mapPartitions P10-16→ ArticleRaw —dedup urls→
-  *   —broadcast dict joins J1-J7→ EnrichedArticle
-  *   topics ⋈ articles → TopicInfo (URI needs the resolved article)
-  *   events ⋈ per-doc topic map ⋈ per-event article map —flatMap→ triples
-  *   mentions(url,date) ⋈ articles —flatMap→ article/place/osm triples
-  *   mentions ⋈ onehop dictionary → ohg triples
+  *                      —broadcast dict joins J1-J7→ EnrichedArticle
+  *   per-doc article refs ⋈ articles —group by doc→ per-doc article map
+  *   ParsedDay ⋈ doc-article map —one flatMap→ event+topic triples
+  *                               —one flatMap→ article mentions (url, date)
+  *   mentions ⋈ articles —flatMap→ article/place/osm triples (+ child mentions)
+  *   mentions ⋈ one-hop dictionary → ohg triples
   *   union → distinct → partitioned by (event_date, graph_module)
   *
-  * Narrow stages end at exactly three shuffle families: the per-doc/per-event
-  * groupings (keyed by doc_id — co-partitioned), the mention distinct, and
-  * the final distinct+write exchange. Dictionaries broadcast; the one-hop
-  * join is the Zipf-skew hotspot and is AQE/salting-eligible.
+  * The whole day-page side costs three exchanges (ref distinct+group, the
+  * article join, the group-back by doc_id); the mention side three more
+  * (mention distinct, mention⋈articles, final distinct). Everything else is
+  * narrow mapPartitions work. Dictionaries broadcast; the one-hop join is the
+  * Zipf-skew hotspot and is AQE/salting-eligible (graft.plans.SaltedJoin is
+  * the shuffle-side fallback when the dictionary outgrows broadcast).
   */
 object Pipeline {
 
-  case class ParsedDay(events: Seq[KEvent], topics: Seq[KTopic])
-  case class DocTopics(doc_id: String, infos: Seq[Emit.TopicInfo])
-  case class EventArts(doc_id: String, eventIndex: Int, arts: Seq[(String, Emit.ArtLite)])
+  case class ParsedDay(doc_id: String, events: Seq[KEvent], topics: Seq[KTopic])
+  case class DocArts(doc_id: String, arts: Seq[(String, EnrichedArticle)])
   case class Mention(url: String, date: String, isTopic: Boolean,
       forcePlace: Boolean, traverseChildren: Boolean)
 
   /** Distributed deterministic corpus: one task-side render per index — no
     * driver-side data, invariant to partitioning.
     */
-  def dayDocs(spark: SparkSession, p: Synth.Params): Dataset[SpanDoc] = {
+  def dayDocs(spark: SparkSession, p: Synth.Params,
+      onlyDates: Option[Set[String]] = None): Dataset[SpanDoc] = {
     import spark.implicits._
-    val days = Synth.daysOf(p)
+    // partition pruning happens BEFORE any rendering/parsing: the work list
+    // shrinks at the source (resume path, Materialize)
+    val days = Synth.allDaysOf(p).filter { case (y, m, d) =>
+      onlyDates.forall(_.contains(f"$y%04d-$m%02d-$d%02d"))
+    }
     spark.createDataset(days.indices).repartition(spark.sparkContext.defaultParallelism)
-      .map { i => val (m, d) = days(i); SpanCodec.dayDoc(p, Synth.day(p, m, d)) }
+      .map { i => val (y, m, d) = days(i); SpanCodec.dayDoc(p, Synth.day(p, m, d, y)) }
   }
 
   def articleDocs(spark: SparkSession, p: Synth.Params): Dataset[SpanDoc] = {
@@ -44,129 +51,118 @@ object Pipeline {
       .map(i => SpanCodec.articleDoc(p, Synth.article(p, i.toInt)))
   }
 
-  case class Stage(
-      events: Dataset[KEvent],
-      topics: Dataset[KTopic],
-      articles: Dataset[EnrichedArticle],
-      topicRes: Dataset[(KTopic, Emit.TopicInfo)],
-      docTopics: Dataset[DocTopics])
-
-  def build(spark: SparkSession, sfDir: String): Stage = {
+  /** Parse + enrich stages shared by triples and tests. */
+  def parsedDays(spark: SparkSession, p: Synth.Params,
+      onlyDates: Option[Set[String]] = None): Dataset[ParsedDay] = {
     import spark.implicits._
-    val p = Synth.paramsFor(sfDir)
+    dayDocs(spark, p, onlyDates)
+      .map { d =>
+        val (e, t, _) = DayPageParser.parse(d)
+        ParsedDay(d.doc_id, e, t)
+      }
+  }
 
-    val parsedDays = dayDocs(spark, p)
-      .map(d => { val (e, t, _) = DayPageParser.parse(d); ParsedDay(e, t) })
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val events = parsedDays.flatMap(_.events)
-    val topics = parsedDays.flatMap(_.topics)
-
+  def enrichedArticles(spark: SparkSession, p: Synth.Params): Dataset[EnrichedArticle] = {
+    import spark.implicits._
     val dicts = spark.sparkContext.broadcast(Enrich.buildDicts(p))
     val articlesRaw = articleDocs(spark, p)
       .flatMap(ArticleParser.parse(_))
       .dropDuplicates("url") // J9: the reference's LRU memo, Spark-native
-    val articles = Enrich.enrich(articlesRaw, dicts)(spark)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    // topic URI needs the resolved article (outputRdf.py:80-89)
-    val artKeyed = articles.map(a =>
-      (a.url, Emit.ArtLite(a.url, a.wdUri, a.locationFlag, a.parentLocUris), a.classes))
-    val topicRes = topics
-      .joinWith(artKeyed, topics("linkHref") === artKeyed("_1"), "left_outer")
-      .map { case (t, art) =>
-        val (uri, artUrl, classes) =
-          if (art == null) (Uris.textTopicUri(t.text), None, Seq.empty[ClassLabel])
-          else (Uris.articleTopicUri(art._2.url), Some(art._2.url), art._3)
-        (t, Emit.TopicInfo(t.topicId, uri, artUrl, classes, t.parentTopicIds))
-      }
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    val docTopics = topicRes
-      .groupByKey(_._1.doc_id)
-      .mapGroups((k, it) => DocTopics(k, it.map(_._2).toSeq.sortBy(_.topicId)))
-
-    Stage(events, topics, articles, topicRes, docTopics)
+    Enrich.enrich(articlesRaw, dicts)(spark)
   }
 
-  def triples(spark: SparkSession, sfDir: String): Dataset[Triple] = {
+  /** All article hrefs a doc needs resolved: event sentence links (phrase
+    * articles) and topic row links (topic articles).
+    */
+  def docHrefs(pd: ParsedDay): Seq[String] =
+    (pd.events.flatMap(_.sentences.flatMap(_.links).map(_.href)) ++
+      pd.topics.flatMap(_.linkHref)).distinct
+
+  /** In-row emission for one day doc with its resolved articles. */
+  def emitDoc(pd: ParsedDay, arts: Map[String, EnrichedArticle]): Seq[Triple] = {
+    val infos: Map[Long, Emit.TopicInfo] = pd.topics.map { t =>
+      val art = t.linkHref.flatMap(arts.get)
+      val uri = art.map(a => Uris.articleTopicUri(a.url)).getOrElse(Uris.textTopicUri(t.text))
+      t.topicId -> Emit.TopicInfo(t.topicId, uri, art.map(_.url),
+        art.map(_.classes).getOrElse(Nil), t.parentTopicIds)
+    }.toMap
+    val lite = arts.map { case (h, a) =>
+      h -> Emit.ArtLite(a.url, a.wdUri, a.locationFlag, a.parentLocUris)
+    }
+    pd.events.flatMap(e => Emit.eventTriples(e, infos, lite)) ++
+      pd.topics.flatMap { t =>
+        val info = infos(t.topicId)
+        Emit.topicTriples(t, info, infos, t.linkHref.flatMap(arts.get))
+      }
+  }
+
+  /** Depth-1 article mentions of one doc. */
+  def docMentions(pd: ParsedDay, arts: Map[String, EnrichedArticle]): Seq[Mention] = {
+    val ev = pd.events.flatMap(e =>
+      e.sentences.flatMap(_.links).map(_.href).distinct.flatMap(h =>
+        arts.get(h).map(a => Mention(a.url, e.date, isTopic = false,
+          forcePlace = false, traverseChildren = true))))
+    val top = pd.topics.flatMap(t =>
+      t.linkHref.flatMap(arts.get).map(a => Mention(a.url, t.date, isTopic = true,
+        forcePlace = false, traverseChildren = true)))
+    (ev ++ top).distinct
+  }
+
+  def triples(spark: SparkSession, sfDir: String,
+      onlyDates: Option[Set[String]] = None): Dataset[Triple] =
+    triplesFor(spark, Synth.paramsFor(sfDir), onlyDates)
+
+  def triplesFor(spark: SparkSession, p: Synth.Params,
+      onlyDates: Option[Set[String]] = None): Dataset[Triple] = {
     import spark.implicits._
-    val p = Synth.paramsFor(sfDir)
-    val st = build(spark, sfDir)
 
-    // ---- event triples ----------------------------------------------------
-    val evWithTopics = st.events
-      .joinWith(st.docTopics, st.events("doc_id") === st.docTopics("doc_id"), "left_outer")
-      .map { case (e, dt) =>
-        (e, if (dt == null) Seq.empty[Emit.TopicInfo] else dt.infos)
-      }
+    val days = parsedDays(spark, p, onlyDates)
+    val articles = enrichedArticles(spark, p)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val artLite = st.articles.map(a =>
-      Emit.ArtLite(a.url, a.wdUri, a.locationFlag, a.parentLocUris))
-    val eventLinkRefs = st.events.flatMap(e =>
-      e.sentences.flatMap(_.links).map(l => (e.doc_id, e.eventIndex, l.href)).distinct)
-    val eventArts = eventLinkRefs
-      .joinWith(artLite, eventLinkRefs("_3") === artLite("url"))
-      .groupByKey(x => (x._1._1, x._1._2))
-      .mapGroups { (key, it) =>
-        EventArts(key._1, key._2, it.map(x => (x._1._3, x._2)).toSeq.sortBy(_._1))
-      }
+    // per-doc article resolution: one join, grouped back by doc_id
+    val refs = days.flatMap(pd => docHrefs(pd).map(h => (pd.doc_id, h)))
+    val docArts = refs
+      .joinWith(articles, refs("_2") === articles("url"))
+      .groupByKey(_._1._1)
+      .mapGroups((doc, it) => DocArts(doc, it.map(x => (x._1._2, x._2)).toSeq.sortBy(_._1)))
 
-    val eventTriples = evWithTopics
-      .joinWith(eventArts,
-        evWithTopics("_1.doc_id") === eventArts("doc_id") &&
-          evWithTopics("_1.eventIndex") === eventArts("eventIndex"),
-        "left_outer")
-      .flatMap { case ((e, infos), ea) =>
-        val arts = if (ea == null) Map.empty[String, Emit.ArtLite]
-          else ea.arts.toMap
-        Emit.eventTriples(e, infos.map(i => i.topicId -> i).toMap, arts)
+    val docJoined = days
+      .joinWith(docArts, days("doc_id") === docArts("doc_id"), "left_outer")
+      .map { case (pd, da) =>
+        (pd, if (da == null) Seq.empty[(String, EnrichedArticle)] else da.arts)
       }
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // ---- topic triples ----------------------------------------------------
-    val topicWithDoc = st.topicRes
-      .joinWith(st.docTopics, st.topicRes("_1.doc_id") === st.docTopics("doc_id"), "left_outer")
-      .map { case ((t, info), dt) =>
-        (t, info, if (dt == null) Seq.empty[Emit.TopicInfo] else dt.infos)
-      }
-    val topicTriples = topicWithDoc
-      .joinWith(st.articles, topicWithDoc("_2.artUrl") === st.articles("url"), "left_outer")
-      .flatMap { case ((t, info, infos), art) =>
-        Emit.topicTriples(t, info, infos.map(i => i.topicId -> i).toMap, Option(art))
-      }
+    val dayTriples = docJoined.flatMap { case (pd, arts) => emitDoc(pd, arts.toMap) }
 
-    // ---- article mentions → article/place/osm triples ----------------------
-    val evMentions = st.events
-      .flatMap(e => e.sentences.flatMap(_.links).map(l => (l.href, e.date)))
+    // ---- article mentions → article/place/osm triples -----------------------
+    val depth1 = docJoined
+      .flatMap { case (pd, arts) => docMentions(pd, arts.toMap) }
       .distinct()
-      .joinWith(st.articles, col("_1") === st.articles("url"))
-      .map { case ((u, d), _) => Mention(u, d, isTopic = false, forcePlace = false, traverseChildren = true) }
-    val topMentions = st.topicRes
-      .filter(_._2.artUrl.isDefined)
-      .map(x => Mention(x._2.artUrl.get, x._1.date, isTopic = true, forcePlace = false, traverseChildren = true))
-    val depth1 = evMentions.union(topMentions).distinct()
-
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val childMentions = depth1
-      .joinWith(st.articles, depth1("url") === st.articles("url"))
+      .joinWith(articles, depth1("url") === articles("url"))
       .flatMap { case (m, a) =>
         val hasPlace = a.locationFlag || m.isTopic || m.forcePlace
         if (hasPlace)
-          a.childUrls.map(c => Mention(c, m.date, isTopic = false, forcePlace = true, traverseChildren = false))
+          a.childUrls.map(c => Mention(c, m.date, isTopic = false,
+            forcePlace = true, traverseChildren = false))
         else Nil
       }
-      .distinct()
-
     val mentions = depth1.union(childMentions).distinct()
-    val articleTriples = mentions
-      .joinWith(st.articles, mentions("url") === st.articles("url"))
-      .flatMap { case (m, a) =>
-        Emit.articleTriples(a, m.date, m.isTopic, m.forcePlace, m.traverseChildren)
-      }
+    // one join, two consumers (article triples + ohg probe)
+    val mentArts = mentions
+      .joinWith(articles, mentions("url") === articles("url"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val articleTriples = mentArts.flatMap { case (m, a) =>
+      Emit.articleTriples(a, m.date, m.isTopic, m.forcePlace, m.traverseChildren)
+    }
 
     // ---- ohg module: one-hop dictionary join (the skew hotspot) ------------
     val onehop = spark.range(p.articles)
       .flatMap(i => if (Synth.article(p, i.toInt).wdId.isDefined) Dicts.onehopFor(i.toInt) else Nil)
-    val wdMentions = mentions
-      .joinWith(st.articles, mentions("url") === st.articles("url"))
+    val wdMentions = mentArts
       .flatMap { case (m, a) => a.wdUri.map(w => (w, m.date)) }
       .distinct()
     val ohgTriples = wdMentions
@@ -176,8 +172,7 @@ object Pipeline {
           r.obj_dtype.orNull, r.obj_lang.orNull, date)
       }
 
-    eventTriples
-      .unionByName(topicTriples)
+    dayTriples
       .unionByName(articleTriples)
       .unionByName(ohgTriples)
       .dropDuplicates() // D1: rdflib graph set semantics

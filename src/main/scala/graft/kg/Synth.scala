@@ -38,7 +38,8 @@ object Synth {
   }
 
   // ---- corpus parameters --------------------------------------------------
-  case class Params(months: Int, articles: Int, year: Int = 2022)
+  case class Params(months: Int, articles: Int, year: Int = 2022, years: Int = 1,
+      density: Int = 1) // multiplies events/topics per day (bench corpus sizing)
 
   /** Scale from the sf dir name so driver queries scale with the suite. */
   def paramsFor(sfDir: String): Params = {
@@ -228,11 +229,12 @@ object Synth {
     MTopicNode(parts.result(), children)
   }
 
-  def day(p: Params, month: Int, dayN: Int): MDay = {
-    val s = h(11L, month.toLong, dayN.toLong)
-    val date = f"${p.year}%04d-$month%02d-$dayN%02d"
-    val dayboxId = s"${p.year}_${monthNames(month - 1)}_$dayN"
-    val sourceUrl = s"https://en.wikipedia.org/wiki/Portal:Current_events/${monthNames(month - 1)}_${p.year}"
+  def day(p: Params, month: Int, dayN: Int, year: Int = -1): MDay = {
+    val y = if (year < 0) p.year else year
+    val s = h(11L, y.toLong, month.toLong, dayN.toLong)
+    val date = f"$y%04d-$month%02d-$dayN%02d"
+    val dayboxId = s"${y}_${monthNames(month - 1)}_$dayN"
+    val sourceUrl = s"https://en.wikipedia.org/wiki/Portal:Current_events/${monthNames(month - 1)}_$y"
     // page-bottom references
     val nRefs = pick(4, s, 1)
     val refs = (0 until nRefs).map { j =>
@@ -250,7 +252,7 @@ object Synth {
         (0 until nCats).map { c =>
           val cs = h(s, 500L + c.toLong)
           val name = categories(Math.floorMod(c + pick(5, cs, 1), categories.length))
-          val nodes = (0 until (1 + pick(2, cs, 2))).map { i =>
+          val nodes = (0 until (p.density * (1 + pick(2, cs, 2)))).map { i =>
             val ns = h(cs, 600L + i.toLong)
             if (chance(2, 5, ns, 1)) topicNode(p, ns, p.articles, 0, refPool)
             else eventNode(p, ns, p.articles, refPool)
@@ -263,4 +265,10 @@ object Synth {
 
   def daysOf(p: Params): Seq[(Int, Int)] =
     for (m <- 1 to p.months; d <- 1 to monthDays(m - 1)) yield (m, d)
+
+  /** (year, month, day) across the full multi-year span. */
+  def allDaysOf(p: Params): Seq[(Int, Int, Int)] =
+    for (y <- p.year until (p.year + p.years);
+         m <- 1 to p.months;
+         d <- 1 to monthDays(m - 1)) yield (y, m, d)
 }

@@ -36,7 +36,14 @@ case class KEvent(
     links: Seq[KLink], // non-source links, event-level offsets
     sourceLinks: Seq[KLink],
     refs: Seq[KReference], // resolved page-bottom citations (extraction.py:216-219)
-    parentTopicIds: Seq[Long]) // topic ids within this doc (day-local)
+    parentTopicIds: Seq[Long]) { // topic ids within this doc (day-local)
+
+  /** F11: event text with the trailing source text stripped
+    * (reference objects/event.py:31-33).
+    */
+  def textWithoutSource: String =
+    if (sourceText.isEmpty) text else text.dropRight(sourceText.length)
+}
 
 /** Parsed topic row (reference objects/topic.py:8-17). `topicId` is unique
   * within the doc; URI minting needs the resolved article, so it happens

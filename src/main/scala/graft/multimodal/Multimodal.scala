@@ -1,0 +1,106 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.Tables
+
+/** Multimodal columns for a training-data pipeline: media as opaque BINARY
+  * plus typed metadata, with decode / feature-extract / frame-sample as
+  * batch transforms.
+  *
+  * The container has no image/audio codecs, so the DECODE STEP IS A
+  * DETERMINISTIC STUB (clearly marked below) — what is real and tested is
+  * the Spark-side plumbing: binary column handling, metadata schema,
+  * explode-based frame fan-out, and the typed mapPartitions batch shape a
+  * production decoder (or a Pandas UDF via mapInPandas on PySpark) would
+  * plug into.
+  */
+object Multimodal {
+
+  /** m01: media inventory — binary blob + metadata struct per doc. The blob
+    * is the utf-8 encoding of the text (stand-in for real media bytes); all
+    * metadata derives portably so DuckDB oracles the whole row.
+    */
+  def m01MediaInventory(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .selectExpr(
+        "doc_id",
+        "encode(text, 'UTF-8') AS media", // opaque binary column
+        "CAST(octet_length(encode(text, 'UTF-8')) AS BIGINT) AS n_bytes",
+        // format tag from the content hash (deterministic fake container type)
+        "CASE (instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) % 3 " +
+          "WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webm' END AS format",
+        // fake dimensions from hash nibbles (decode stub — no codec in sandbox)
+        "CAST(16 * (16 + (instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1)) AS BIGINT) AS width",
+        "CAST(16 * (9 + (instr('0123456789abcdef', substr(md5(text), 3, 1)) - 1)) AS BIGINT) AS height")
+      .orderBy(col("doc_id"))
+
+  val m01Sql: String =
+    """SELECT doc_id, encode(text) AS media,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  CASE (instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) % 3
+      |    WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webm' END AS format,
+      |  16 * (16 + (instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1)) AS width,
+      |  16 * (9 + (instr('0123456789abcdef', substr(md5(text), 3, 1)) - 1)) AS height
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** m02: frame sampling — a fake video of n_frames = n_chars frames sampled
+    * every 30th frame, one output row per sampled frame with a content
+    * fingerprint. Exercises the explode fan-out and per-frame keying a real
+    * frame extractor uses.
+    */
+  def m02FrameSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .selectExpr("doc_id", "text", "explode(sequence(CAST(0 AS BIGINT), n_chars - 1, CAST(30 AS BIGINT))) AS frame_idx")
+      .selectExpr("doc_id", "frame_idx",
+        "md5(concat(doc_id, ':', frame_idx, ':', text)) AS frame_fp")
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  val m02Sql: String =
+    """WITH series AS (SELECT i FROM generate_series(0, 2048, 30) t(i))
+      |SELECT doc_id, i AS frame_idx,
+      |  md5(doc_id || ':' || i || ':' || text) AS frame_fp
+      |FROM documents JOIN series ON i <= n_chars - 1
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** Typed batch decode shape: the real plumbing a production decoder plugs
+    * into — binary in, fixed-width float feature vector out, one decoder
+    * instance per partition (mapPartitions), constant memory per batch.
+    */
+  case class MediaRow(doc_id: Long, media: Array[Byte])
+  case class MediaFeature(doc_id: Long, feature: Array[Float])
+
+  /** DECODE STUB: a real implementation would decode `media` with a codec
+    * and run a feature extractor. The stub derives a deterministic
+    * 8-float vector from the bytes so the pipeline shape is testable.
+    */
+  def decodeStub(bytes: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](8)
+    var i = 0
+    while (i < bytes.length) {
+      out(i % 8) += (bytes(i) & 0xff) / 255.0f
+      i += 1
+    }
+    out
+  }
+
+  def m03FeatureExtract(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media: Dataset[MediaRow] = Tables.documents(s, d)
+      .selectExpr("doc_id", "encode(text, 'UTF-8') AS media")
+      .as[MediaRow]
+    media.mapPartitions { it =>
+      // one decoder instance per partition (real decoders are expensive to init)
+      it.map(r => MediaFeature(r.doc_id, decodeStub(r.media)))
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m01_media_inventory" -> (m01MediaInventory _),
+    "m02_frame_sample" -> (m02FrameSample _),
+    "m03_feature_extract" -> (m03FeatureExtract _))
+
+  def oracleSql: Map[String, String] = Map(
+    "m01_media_inventory" -> m01Sql,
+    "m02_frame_sample" -> m02Sql)
+}

@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.queries.Tables
+
+/** Batch entry points for the streaming transforms (same plan runs on a
+  * stream — StreamJobsSpec proves stream==batch equivalence).
+  */
+object StreamingQueries {
+
+  def st01WindowedAgg(s: SparkSession, d: String): DataFrame =
+    StreamJobs.windowedAgg(Tables.events(s, d))
+      .select(col("ws").cast(TimestampNTZType).as("ws"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("ws"), col("event_type"))
+
+  val st01Sql: String =
+    """SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin
+
+  def st02Sessionize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val evs = Tables.events(s, d)
+      .selectExpr("user_id", "ts", "value").as[StreamJobs.Ev]
+    StreamJobs.sessionize(evs).toDF()
+      .selectExpr("user_id", "n_events",
+        // stable cross-engine compare: decimal-round the float accumulation
+        "CAST(CAST(sum_value AS DECIMAL(18,4)) AS DOUBLE) AS sum_value")
+      .orderBy(col("user_id"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st01_windowed_agg" -> (st01WindowedAgg _),
+    "st02_sessionize" -> (st02Sessionize _))
+
+  def oracleSql: Map[String, String] = Map(
+    "st01_windowed_agg" -> st01Sql)
+}

@@ -25,8 +25,8 @@ object Oracle {
     // mentions: (url, date, isTopic, forcePlace, traverseChildren)
     val mentions = scala.collection.mutable.Set.empty[(String, String, Boolean, Boolean, Boolean)]
 
-    for ((m, dayN) <- Synth.daysOf(p)) {
-      val doc = SpanCodec.dayDoc(p, Synth.day(p, m, dayN))
+    for ((y, m, dayN) <- Synth.allDaysOf(p)) {
+      val doc = SpanCodec.dayDoc(p, Synth.day(p, m, dayN, y))
       val (events, topics, _) = DayPageParser.parse(doc)
 
       val infos: Map[Long, Emit.TopicInfo] = topics.map { t =>
