@@ -64,6 +64,7 @@ object KgPipeline {
     val t = triples(s, d)
     val edges = t.filter(col("pred") === Ns.COY + "isOccuringDuring")
       .select(col("subj").as("child"), col("obj").as("parent"))
+      .distinct() // triples repeat per date partition
       .persist()
     // seed: the most-referenced parent topic (deterministic)
     val seed = edges.groupBy(col("parent")).count()
@@ -92,8 +93,14 @@ object KgPipeline {
   // Q4: per-day event-location WKTs via the multi-hop chain
   // event→context→sentence→phrase→article→(sameAs→osm | osm) (create_event_map.py:441-461)
   def kg05EventMapWkts(s: SparkSession, d: String): DataFrame = {
-    val t = triples(s, d).persist()
+    // One shared date-deduped edge projection: article-derived triples repeat
+    // once per mention date (partition key) and joining duplicated edge sets
+    // multiplies quadratically. Single distinct + persist, cheap branches.
+    val t = triples(s, d)
+      .select(col("subj"), col("pred"), col("obj")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def p(pred: String) = t.filter(col("pred") === pred)
+      .select(col("subj"), col("obj"))
     val evCtx = p(Ns.COY + "isIdentifiedBy").select(col("subj").as("event"), col("obj").as("ctx"))
     val ctxSent = p(Ns.NIF + "subString").select(col("subj").as("ctx"), col("obj").as("sent"))
       .filter(col("sent").startsWith(Ns.sentences))
@@ -102,13 +109,19 @@ object KgPipeline {
     val phraseArt = p(Ns.GN + "wikipediaArticle")
       .filter(col("subj").startsWith(Ns.phrases))
       .select(col("subj").as("phrase"), col("obj").as("article"))
-    val sameAs = p(Ns.owlSameAs).select(col("subj").as("article"), col("obj").as("wd"))
+    val sameAs = p(Ns.owlSameAs)
+      .filter(col("subj").startsWith(Ns.wikipediaArticle)) // article→wd only
+      .select(col("subj").as("article"), col("obj").as("wd"))
     val hasOsm = p(Ns.COY + "hasOsmElement").select(col("subj").as("holder"), col("obj").as("osm"))
     val wkt = p(Ns.GEO + "asWKT").select(col("subj").as("osm"), col("obj").as("wkt"))
-    val dates = p(Ns.COY + "hasMentionDate").select(col("subj").as("event"), col("obj").as("date"))
+    val dates = p(Ns.COY + "hasMentionDate")
+      .filter(col("subj").startsWith(Ns.events))
+      .select(col("subj").as("event"), col("obj").as("date"))
 
     val artOsm = sameAs.join(hasOsm, sameAs("wd") === hasOsm("holder")).select(col("article"), col("osm"))
-      .unionByName(hasOsm.withColumnRenamed("holder", "article").select(col("article"), col("osm")))
+      .unionByName(hasOsm
+        .filter(col("holder").startsWith(Ns.wikipediaArticle))
+        .withColumnRenamed("holder", "article").select(col("article"), col("osm")))
     evCtx.join(ctxSent, "ctx").join(sentPhrase, "sent").join(phraseArt, "phrase")
       .join(artOsm, "article").join(wkt, "osm").join(dates, "event")
       .select(col("date"), col("event"), col("article"), col("wkt"))
@@ -120,23 +133,26 @@ object KgPipeline {
   // via anti-join (create_topic_graph.py:363-393)
   def kg06TopicGraph(s: SparkSession, d: String): DataFrame = {
     val t = triples(s, d)
+    // dedupe every edge projection before joining (triples repeat per date)
     val topics = t.filter(col("pred") === Ns.rdfType && col("obj") === Ns.COY + "TextTopic")
-      .select(col("subj").as("topic"))
+      .select(col("subj").as("topic")).distinct()
     val articleTopics = t.filter(col("pred") === Ns.rdfType && col("obj") === Ns.COY + "ArticleTopic")
-      .select(col("subj").as("topic"))
+      .select(col("subj").as("topic")).distinct()
     val pureText = topics.join(articleTopics, Seq("topic"), "left_anti")
-    val labels = t.filter(col("pred") === Ns.rdfsLabel)
-      .select(col("subj").as("topic"), col("obj").as("label"))
-    val parents = t.filter(col("pred") === Ns.COY + "isOccuringDuring")
-      .select(col("subj").as("topic"), col("obj").as("parent"))
-    val dates = t.filter(col("pred") === Ns.COY + "hasMentionDate")
-      .select(col("subj").as("topic"), col("obj").as("dt"))
+    // prefix-prune to topic subjects BEFORE the distinct: rdfs:label spans
+    // the whole KG (sentences/phrases/articles), topics are a tiny slice
+    val isTopicUri = col("subj").startsWith(Ns.articleTopics) ||
+      col("subj").startsWith(Ns.textTopics)
+    val labels = t.filter(col("pred") === Ns.rdfsLabel && isTopicUri)
+      .select(col("subj").as("topic"), col("obj").as("label")).distinct()
+    val parents = t.filter(col("pred") === Ns.COY + "isOccuringDuring" && isTopicUri)
+      .select(col("subj").as("topic"), col("obj").as("parent")).distinct()
+    val dates = t.filter(col("pred") === Ns.COY + "hasMentionDate" && isTopicUri)
+      .select(col("subj").as("topic"), col("obj").as("dt")).distinct()
     topics
       .join(labels, Seq("topic"), "left")
       .join(parents, Seq("topic"), "left")
       .join(dates, Seq("topic"), "left")
-      .withColumn("is_pure_text", col("topic").isin() || lit(false)) // placeholder replaced below
-      .drop("is_pure_text")
       .join(pureText.withColumn("pure", lit(1)), Seq("topic"), "left")
       .groupBy(col("topic"), col("parent"))
       .agg(min(col("label")).as("label"), min(col("dt")).as("earliest"),
@@ -148,9 +164,9 @@ object KgPipeline {
   def kg07EventTypes(s: SparkSession, d: String): DataFrame = {
     val t = triples(s, d)
     val types = t.filter(col("pred") === Ns.COY + "hasWikidataEventType")
-      .select(col("subj").as("event"), col("obj").as("wd_class"))
+      .select(col("subj").as("event"), col("obj").as("wd_class")).distinct()
     val labels = t.filter(col("pred") === Ns.rdfsLabel)
-      .select(col("subj").as("wd_class"), col("obj").as("class_label"))
+      .select(col("subj").as("wd_class"), col("obj").as("class_label")).distinct()
     types.join(labels, Seq("wd_class"), "left")
       .select(col("event"), col("wd_class"), col("class_label"))
       .distinct()
