@@ -17,26 +17,29 @@ import graft.queries.Tables
   */
 object Multimodal {
 
-  /** m01: media inventory — binary blob + metadata struct per doc. The blob
-    * is the utf-8 encoding of the text (stand-in for real media bytes); all
-    * metadata derives portably so DuckDB oracles the whole row.
+  /** m01: media inventory — metadata per media blob. The blob is the utf-8
+    * encoding of the text (stand-in for real media bytes); the blob itself is
+    * carried through the plan as a real BINARY column but emitted as its md5
+    * fingerprint so every output column is oracle-hashable (raw bytes and
+    * float arrays are not comparable through the driver's pandas harness).
     */
   def m01MediaInventory(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      .selectExpr("doc_id", "encode(text, 'UTF-8') AS media") // opaque binary column
       .selectExpr(
         "doc_id",
-        "encode(text, 'UTF-8') AS media", // opaque binary column
-        "CAST(octet_length(encode(text, 'UTF-8')) AS BIGINT) AS n_bytes",
+        "md5(media) AS media_md5", // content fingerprint of the blob
+        "CAST(octet_length(media) AS BIGINT) AS n_bytes",
         // format tag from the content hash (deterministic fake container type)
-        "CASE (instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) % 3 " +
+        "CASE (instr('0123456789abcdef', substr(md5(media), 1, 1)) - 1) % 3 " +
           "WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webm' END AS format",
         // fake dimensions from hash nibbles (decode stub — no codec in sandbox)
-        "CAST(16 * (16 + (instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1)) AS BIGINT) AS width",
-        "CAST(16 * (9 + (instr('0123456789abcdef', substr(md5(text), 3, 1)) - 1)) AS BIGINT) AS height")
+        "CAST(16 * (16 + (instr('0123456789abcdef', substr(md5(media), 2, 1)) - 1)) AS BIGINT) AS width",
+        "CAST(16 * (9 + (instr('0123456789abcdef', substr(md5(media), 3, 1)) - 1)) AS BIGINT) AS height")
       .orderBy(col("doc_id"))
 
   val m01Sql: String =
-    """SELECT doc_id, encode(text) AS media,
+    """SELECT doc_id, md5(text) AS media_md5,
       |  octet_length(encode(text)) AS n_bytes,
       |  CASE (instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) % 3
       |    WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webm' END AS format,
@@ -68,17 +71,19 @@ object Multimodal {
     * instance per partition (mapPartitions), constant memory per batch.
     */
   case class MediaRow(doc_id: Long, media: Array[Byte])
-  case class MediaFeature(doc_id: Long, feature: Array[Float])
+  case class MediaFeature(doc_id: Long, feature: Array[Long])
 
   /** DECODE STUB: a real implementation would decode `media` with a codec
-    * and run a feature extractor. The stub derives a deterministic
-    * 8-float vector from the bytes so the pipeline shape is testable.
+    * and run a feature extractor. The stub folds the raw bytes into a
+    * deterministic 8-lane vector (lane k = sum of bytes at positions ≡ k
+    * mod 8) — exact integer arithmetic so the vector is order-independent
+    * and reproducible by the DuckDB oracle.
     */
-  def decodeStub(bytes: Array[Byte]): Array[Float] = {
-    val out = new Array[Float](8)
+  def decodeStub(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](8)
     var i = 0
     while (i < bytes.length) {
-      out(i % 8) += (bytes(i) & 0xff) / 255.0f
+      out(i % 8) += (bytes(i) & 0xff).toLong
       i += 1
     }
     out
@@ -92,7 +97,23 @@ object Multimodal {
     media.mapPartitions { it =>
       // one decoder instance per partition (real decoders are expensive to init)
       it.map(r => MediaFeature(r.doc_id, decodeStub(r.media)))
-    }.toDF().orderBy(col("doc_id"))
+    }.toDF()
+      // unpack lanes to scalar BIGINT columns: oracle-hashable output schema
+      .selectExpr(Seq("doc_id") ++ (0 until 8).map(k => s"feature[$k] AS f$k"): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  // documents are ASCII (TESTDATA.md) so ascii(substr(...)) == byte value;
+  // the 2048 series bound exceeds the corpus max text length (577 at sf0.1)
+  val m03Sql: String = {
+    val lanes = (0 until 8)
+      .map(k => s"CAST(SUM(CASE WHEN (i - 1) % 8 = $k THEN ascii(substr(text, i, 1)) ELSE 0 END) AS BIGINT) AS f$k")
+      .mkString(",\n      |  ")
+    s"""WITH series AS (SELECT i FROM generate_series(1, 2048) t(i))
+       |SELECT doc_id,
+       |  $lanes
+       |FROM documents JOIN series ON i <= length(text)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -102,5 +123,6 @@ object Multimodal {
 
   def oracleSql: Map[String, String] = Map(
     "m01_media_inventory" -> m01Sql,
-    "m02_frame_sample" -> m02Sql)
+    "m02_frame_sample" -> m02Sql,
+    "m03_feature_extract" -> m03Sql)
 }

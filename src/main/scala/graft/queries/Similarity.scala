@@ -147,24 +147,32 @@ object Similarity {
        |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin
   }
 
-  // ---- s03: IVF-style probe via label partitions (no external oracle) ------
+  // ---- s03: IVF-style probe via label partitions ---------------------------
+  // Centroid arithmetic is integer-exact (components quantized to 2^20 grid,
+  // summed as BIGINT — order-independent) so the probe ranking is
+  // deterministic and the whole query has a DuckDB oracle. The only double op
+  // is one final division of an exact integer (IEEE-identical cross-engine).
   def s03IvfTopk(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val comps = emb
       .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .selectExpr("vec_id", "label", "pos", "CAST(x AS DOUBLE) AS x")
+      .selectExpr("vec_id", "label", "pos",
+        "CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT) AS xq")
     val centroids = comps.groupBy(col("label"), col("pos"))
-      .agg(avg(col("x")).as("c"))
+      .agg(sum(col("xq")).as("cs"), count(lit(1)).as("n"))
       .groupBy(col("label"))
-      .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("cs"))
-      .selectExpr("label", "transform(cs, s -> s.c) AS centroid")
+      .agg(sort_array(collect_list(struct(col("pos"), col("cs")))).as("arr"),
+        max(col("n")).as("n"))
+      .selectExpr("label", "transform(arr, s -> s.cs) AS centsum", "n")
     val queries = emb.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    // probe: 2 nearest centroids per query (by dot product)
+    // probe: 2 nearest centroids per query (by mean dot product; the fold is
+    // BIGINT-exact, the /n division is one deterministic double op)
     val probeW = Window.partitionBy(col("query_id")).orderBy(col("cdot").desc, col("label"))
     val probes = queries.crossJoin(broadcast(centroids))
       .selectExpr("query_id", "qe", "label",
-        "aggregate(zip_with(qe, centroid, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (a, v) -> a + v) AS cdot")
+        "CAST(aggregate(zip_with(transform(qe, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)), " +
+          "centsum, (x, y) -> x * y), CAST(0 AS BIGINT), (a, v) -> a + v) AS DOUBLE) / n AS cdot")
       .withColumn("prk", row_number().over(probeW))
       .filter(col("prk") <= 2)
       .select(col("query_id"), col("qe"), col("label"))
@@ -172,13 +180,56 @@ object Similarity {
     val scored = cands.join(broadcast(probes), Seq("label"))
       .filter(col("cand_id") =!= col("query_id"))
       .selectExpr("query_id", "cand_id",
-        s"CAST(floor(1e6 * $dotExpr / ($qnormExpr * $cnormExpr)) AS BIGINT) AS sim_e6")
+        s"CASE WHEN $qnormExpr * $cnormExpr = 0 THEN CAST(-2000000 AS BIGINT) " +
+          s"ELSE CAST(floor(1e6 * $dotExpr / ($qnormExpr * $cnormExpr)) AS BIGINT) END AS sim_e6")
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim_e6").desc, col("cand_id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= K)
       .select(col("query_id"), col("rk"), col("cand_id"), col("sim_e6"))
       .orderBy(col("query_id"), col("rk"))
   }
+
+  val s03Sql: String =
+    s"""WITH comps AS (
+       |  SELECT vec_id, label, i AS pos,
+       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT) AS xq
+       |  FROM embeddings, generate_series(1, $Dim) t(i)),
+       |cent AS (
+       |  SELECT label, pos, CAST(SUM(xq) AS BIGINT) AS cs, COUNT(*) AS n
+       |  FROM comps GROUP BY label, pos),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $NQueries),
+       |probes0 AS (
+       |  SELECT q.query_id, c.label,
+       |    CAST(CAST(SUM(CAST(floor(CAST(q.qe[c.pos] AS DOUBLE) * 1048576) AS BIGINT) * c.cs) AS BIGINT) AS DOUBLE)
+       |      / MAX(c.n) AS cdot
+       |  FROM q, cent c GROUP BY q.query_id, c.label),
+       |probes AS (
+       |  SELECT query_id, label FROM (
+       |    SELECT query_id, label,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cdot DESC, label) AS prk
+       |    FROM probes0) t WHERE prk <= 2),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS cand_id,
+       |    CASE WHEN
+       |      sqrt((SELECT SUM(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))
+       |            FROM generate_series(1, $Dim) t(i))) *
+       |      sqrt((SELECT SUM(CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))
+       |            FROM generate_series(1, $Dim) t(i))) = 0 THEN CAST(-2000000 AS BIGINT)
+       |    ELSE CAST(floor(1e6 *
+       |      (SELECT SUM(CAST(q.qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))
+       |       FROM generate_series(1, $Dim) t(i)) /
+       |      (sqrt((SELECT SUM(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))
+       |             FROM generate_series(1, $Dim) t(i))) *
+       |       sqrt((SELECT SUM(CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))
+       |             FROM generate_series(1, $Dim) t(i))))) AS BIGINT) END AS sim_e6
+       |  FROM embeddings c
+       |  JOIN probes p ON c.label = p.label
+       |  JOIN q ON q.query_id = p.query_id AND c.vec_id <> q.query_id)
+       |SELECT query_id, rk, cand_id, sim_e6 FROM (
+       |  SELECT query_id, cand_id, sim_e6,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_e6 DESC, cand_id) AS INT) AS rk
+       |  FROM scored) t
+       |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_knn_brute" -> (s01KnnBrute _),
@@ -187,5 +238,6 @@ object Similarity {
 
   val oracleSql: Map[String, String] = Map(
     "s01_knn_brute" -> s01Sql,
-    "s02_ann_lsh" -> s02Sql)
+    "s02_ann_lsh" -> s02Sql,
+    "s03_ivf_topk" -> s03Sql)
 }

@@ -35,19 +35,24 @@ object StreamJobs {
       .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
 
   // ---- sessionization with explicit state ----------------------------------
+  // The value accumulator is exact integer micros (values carry ≤6 decimals,
+  // TESTDATA.md) so the state is order-independent and the output oracles
+  // exactly — float accumulation order in mapGroupsWithState is not
+  // deterministic across partitionings.
   case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
-  case class SessionState(count: Long, sum: Double, lastTs: Long)
-  case class SessionOut(user_id: Long, n_events: Long, sum_value: Double)
+  case class SessionState(count: Long, sumE6: Long, lastTs: Long)
+  case class SessionOut(user_id: Long, n_events: Long, sum_value_e6: Long)
 
   def sessionize(events: Dataset[Ev]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .mapGroupsWithState[SessionState, SessionOut](GroupStateTimeout.NoTimeout()) {
         (user, it, state: GroupState[SessionState]) =>
-          var s = state.getOption.getOrElse(SessionState(0, 0.0, 0L))
-          for (e <- it) s = SessionState(s.count + 1, s.sum + e.value, math.max(s.lastTs, e.ts.getTime))
+          var s = state.getOption.getOrElse(SessionState(0, 0L, 0L))
+          for (e <- it) s = SessionState(s.count + 1,
+            s.sumE6 + Math.round(e.value * 1e6), math.max(s.lastTs, e.ts.getTime))
           state.update(s)
-          SessionOut(user, s.count, s.sum)
+          SessionOut(user, s.count, s.sumE6)
       }
   }
 

@@ -27,16 +27,21 @@ object StreamingQueries {
     val evs = Tables.events(s, d)
       .selectExpr("user_id", "ts", "value").as[StreamJobs.Ev]
     StreamJobs.sessionize(evs).toDF()
-      .selectExpr("user_id", "n_events",
-        // stable cross-engine compare: decimal-round the float accumulation
-        "CAST(CAST(sum_value AS DECIMAL(18,4)) AS DOUBLE) AS sum_value")
+      .select(col("user_id"), col("n_events"), col("sum_value_e6"))
       .orderBy(col("user_id"))
   }
+
+  // values are positive (TESTDATA.md) so round() half-up agrees across engines
+  val st02Sql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_e6
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_windowed_agg" -> (st01WindowedAgg _),
     "st02_sessionize" -> (st02Sessionize _))
 
   def oracleSql: Map[String, String] = Map(
-    "st01_windowed_agg" -> st01Sql)
+    "st01_windowed_agg" -> st01Sql,
+    "st02_sessionize" -> st02Sql)
 }
