@@ -30,25 +30,28 @@ object Pipeline {
   case class Mention(url: String, date: String, isTopic: Boolean,
       forcePlace: Boolean, traverseChildren: Boolean)
 
-  /** Distributed deterministic corpus: one task-side render per index — no
-    * driver-side data, invariant to partitioning.
+  /** Day-page scan of the persisted `documents` table (input_hint contract).
+    * Resume pruning happens at the SOURCE: `onlyDates` becomes a filter on
+    * the partition column, so uncommitted dates never leave the parquet
+    * planner (reference analogue: skip-month-if-exists, __main__.py:286).
     */
   def dayDocs(spark: SparkSession, p: Synth.Params,
       onlyDates: Option[Set[String]] = None): Dataset[SpanDoc] = {
     import spark.implicits._
-    // partition pruning happens BEFORE any rendering/parsing: the work list
-    // shrinks at the source (resume path, Materialize)
-    val days = Synth.allDaysOf(p).filter { case (y, m, d) =>
-      onlyDates.forall(_.contains(f"$y%04d-$m%02d-$d%02d"))
+    val scan = CorpusStore.scan(spark, p)
+    val dayParts = onlyDates match {
+      case Some(ds) => scan.filter(col("part").isin(ds.toSeq: _*))
+      case None => scan.filter(!col("part").startsWith("articles-"))
     }
-    spark.createDataset(days.indices).repartition(spark.sparkContext.defaultParallelism)
-      .map { i => val (y, m, d) = days(i); SpanCodec.dayDoc(p, Synth.day(p, m, d, y)) }
+    dayParts.select(col("doc_id"), col("spans")).as[SpanDoc]
   }
 
+  /** Article-page scan of the same `documents` table (article buckets). */
   def articleDocs(spark: SparkSession, p: Synth.Params): Dataset[SpanDoc] = {
     import spark.implicits._
-    spark.range(p.articles).repartition(spark.sparkContext.defaultParallelism)
-      .map(i => SpanCodec.articleDoc(p, Synth.article(p, i.toInt)))
+    CorpusStore.scan(spark, p)
+      .filter(col("part").startsWith("articles-"))
+      .select(col("doc_id"), col("spans")).as[SpanDoc]
   }
 
   /** Parse + enrich stages shared by triples and tests. */

@@ -40,6 +40,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("day-page scan is a pruned parquet scan of the documents table") {
+    val p = Synth.paramsFor("/root/testdata/sf0.001")
+    val pruned = Pipeline.dayDocs(spark, p, Some(Set("2022-01-05")))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("Scan parquet"), s"no parquet scan in:\n$plan")
+    assert(plan.contains("PartitionFilters") && plan.contains("2022-01-05"),
+      s"partition filter not pushed to the scan:\n$plan")
+    assert(pruned.count() == 1) // exactly the one committed date survives
+    // schema enforcement: the scan reads exactly the input_hint columns
+    assert(pruned.schema.fieldNames.toSeq == Seq("doc_id", "spans"))
+  }
+
   test("all four graph modules are populated, osm > base per-article shape") {
     val sfDir = "/root/testdata/sf0.001"
     val counts = Pipeline.triples(spark, sfDir)
