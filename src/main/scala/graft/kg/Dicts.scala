@@ -96,6 +96,52 @@ object Dicts {
     (0 until n).map(j => Ns.WD + wdIdOf(zipf(nArticles, s, 2, j.toLong))).distinct
   }
 
+  // ---- distributed dictionary Datasets (the production join inputs) -------
+  // Built task-side from the deterministic generator — the Spark-native
+  // stand-in for `spark.read.parquet(dict_table)`. One row per wd entity /
+  // article; at real scale these are table scans with the same schemas.
+
+  /** Per-wd-entity bundle consumed by the J1/J2/J3/J4/J6 broadcast join. */
+  case class WdBundle(wd: String, classes: Seq[ClassLabel],
+      parent_loc_uris: Seq[String], osm_elements: Seq[KOsmElement])
+  /** Article existence + location flag (J7 membership / child filtering). */
+  case class ArtFlag(art_url: String, loc_flag: Boolean)
+
+  def wdBundles(spark: org.apache.spark.sql.SparkSession, p: Params):
+      org.apache.spark.sql.Dataset[WdBundle] = {
+    import spark.implicits._
+    val enLabels = classLabels.filter(_.lang == "en").map(l => l.wd_id -> l.label).toMap
+    spark.range(p.articles).flatMap { li =>
+      val i = li.toInt
+      Synth.article(p, i).wdId.map { wd =>
+        val classes = p31ClassesFor(i).flatMap(c => enLabels.get(c).map(l => ClassLabel(c, l)))
+        val parents = parentLocFor(p, i).map(e => Ns.WD + e.parent_wd).toSeq
+        val (relids, objs) = osmFor(i)
+        WdBundle(wd, classes, parents, Enrich.resolveOsm(relids, objs))
+      }
+    }
+  }
+
+  def artFlagsDs(spark: org.apache.spark.sql.SparkSession, p: Params):
+      org.apache.spark.sql.Dataset[ArtFlag] = {
+    import spark.implicits._
+    spark.range(p.articles).flatMap { li =>
+      val a = Synth.article(p, li.toInt)
+      if (a.exists && !a.isNamespace)
+        Some(ArtFlag(a.url, ArticleParser.locationFlag(a.ibClasses, a.templates, placeTemplates)))
+      else None
+    }
+  }
+
+  def wd2wpDs(spark: org.apache.spark.sql.SparkSession, p: Params):
+      org.apache.spark.sql.Dataset[Wd2Wp] = {
+    import spark.implicits._
+    spark.range(p.articles).flatMap { li =>
+      val a = Synth.article(p, li.toInt)
+      if (a.exists && !a.isNamespace) a.wdId.map(w => Wd2Wp(w, a.url)) else None
+    }
+  }
+
   /** Nominatim top-1 geocoding (nominatimService.py:47-51); ~10% misses. */
   def nominatimFor(key: String): Option[KOsmElement] = {
     val s = h(43L, key.hashCode.toLong)

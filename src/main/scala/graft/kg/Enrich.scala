@@ -1,7 +1,7 @@
 package graft.kg
 
 import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.functions.{broadcast, col, collect_set, sort_array}
 
 /** Enriched article after the dictionary joins J1-J7 (SURVEY.md §2.4):
   * Wikidata P31 classes + labels, parent locations, OSM elements (via
@@ -32,16 +32,43 @@ case class EnrichedArticle(
     osmElements: Seq[KOsmElement],
     timeRows: Seq[IbTimeRow],
     dateRows: Seq[IbDateRow],
+    nTimeParseErrors: Int, // lineage counters (reference articleExtractor.py:50-63)
+    nDateParseErrors: Int,
     microDtstart: Option[String],
     microDtend: Option[String],
     childUrls: Seq[String])
 
-/** Dictionary bundle. In this sandbox the dictionaries are deterministic
-  * synthetic tables small enough to broadcast — the map-side hash join below
-  * is exactly what Catalyst's BroadcastHashJoinExec executes. At 10^12-doc
-  * scale the one-hop dictionary exceeds broadcast size: that join runs as a
-  * shuffle join through [[graft.plans.SaltedJoin]] (hot-key replication), and
-  * ohg emission already goes through a real DataFrame join in TripleEmit.
+/** Per-row (narrow) enrichment output: everything computable without the
+  * wd dictionary, plus the join keys the dictionary joins consume.
+  */
+case class PreEnriched(
+    url: String,
+    name: Option[String],
+    headline: Option[String],
+    datePublished: Option[String],
+    dateModified: Option[String],
+    wdUri: Option[String],
+    wdBare: Option[String], // J1-J4/J6 join key
+    locationFlag: Boolean,
+    pageCoordinates: Seq[Double],
+    ibCoordinates: Seq[Double],
+    rawInfobox: String,
+    locLabel: Option[String],
+    locValue: Option[String],
+    locLinkWkts: Seq[LocLinkWkt],
+    falconEntityUris: Seq[String], // J5/J7 join input
+    timeRows: Seq[IbTimeRow],
+    dateRows: Seq[IbDateRow],
+    nTimeParseErrors: Int,
+    nDateParseErrors: Int,
+    microDtstart: Option[String],
+    microDtend: Option[String],
+    linkCandidates: Seq[String]) // loc-row link articles (child-flag join input)
+
+/** Sequential dictionary bundle — the TEST ORACLE's lookup tables. The
+  * production path (enrichJoined below) never builds these maps: it runs
+  * Catalyst broadcast joins against the dictionary Datasets, so PipelineSpec
+  * cross-validates two independent J1-J7 implementations.
   */
 case class DictMaps(
     wdOsm: Map[String, (Seq[String], Seq[String])], // wd -> (rel ids, objs)
@@ -59,42 +86,26 @@ object Enrich {
 
   def bareWd(uri: String): String = Uris.urlBasename(uri)
 
-  /** Enrich parsed articles with all dictionary joins — one mapPartitions
-    * pass, zero shuffle (J9's LRU memo is replaced by the upstream
-    * dropDuplicates("url")).
+  /** J3 + J6 shared by both paths: OSM id validation (relation ids win, elif
+    * semantics articleExtractor.py:184-197; filters per
+    * wikidataService.py:182-224) then Nominatim resolution.
     */
-  def enrich(parsed: Dataset[ArticleRaw], dicts: Broadcast[DictMaps])(
-      implicit spark: SparkSession): Dataset[EnrichedArticle] = {
-    import spark.implicits._
-    parsed.mapPartitions { it =>
-      val d = dicts.value
-      it.map(a => enrichOne(a, d))
-    }
-  }
-
-  def enrichOne(a: ArticleRaw, d: DictMaps): EnrichedArticle = {
-    val locFlag = ArticleParser.locationFlag(a.ibClasses, a.templates, d.placeTemplates)
-    val wdUri = a.wikidataEntity
-    val wdBare = wdUri.map(bareWd)
-
-    // J4-derived P31 classes + J1 label join (en only)
-    val classes = wdBare.toSeq
-      .flatMap(w => d.p31.getOrElse(w, Nil))
-      .flatMap(c => d.classLabels.get(c).map(l => ClassLabel(c, l)))
-
-    // J2 parent locations (keys only are consumed downstream, outputRdf.py:540-557)
-    val parentLocs = wdBare.toSeq.flatMap(w => d.parentLoc.getOrElse(w, Nil))
-      .map(p => Ns.WD + p)
-
-    // J3 + J6: OSM ids -> Nominatim lookups (relation ids win, elif semantics
-    // articleExtractor.py:184-197); validation filters per wikidataService.py:182-224
-    val (relids, objs) = wdBare.flatMap(d.wdOsm.get).getOrElse((Nil, Nil))
+  def resolveOsm(relids: Seq[String], objs: Seq[String]): Seq[KOsmElement] = {
     val validRelids = relids.filter(r => r.nonEmpty && r.forall(_.isDigit))
     val validObjs = objs.filter(o => objRe.pattern.matcher(o).matches())
     val osmKeys =
       if (validRelids.nonEmpty) validRelids.map("relation/" + _)
       else validObjs
-    val osmElements = osmKeys.flatMap(Dicts.nominatimFor)
+    osmKeys.flatMap(Dicts.nominatimFor)
+  }
+
+  /** The narrow per-row stage: location row/flag, WKT lookups, Falcon2
+    * entity linking on the raw location value, typed date/time rows. No
+    * dictionary joins — only the static place-template set.
+    */
+  def preEnrichOne(a: ArticleRaw, placeTemplates: Set[String], nArticles: Int): PreEnriched = {
+    val locFlag = ArticleParser.locationFlag(a.ibClasses, a.templates, placeTemplates)
+    val wdUri = a.wikidataEntity
 
     // location row (P13)
     val locRow = ArticleParser.locationRow(a)
@@ -107,28 +118,23 @@ object Enrich {
     else Nil
 
     // J5 Falcon2 on the raw location value text
-    val falconEntities = locValue.toSeq.flatMap(v => Dicts.falconEntitiesFor(d.nArticles, v))
+    val falconEntities = locValue.toSeq.flatMap(v => Dicts.falconEntitiesFor(nArticles, v))
 
-    // children (depth+1): loc-row link articles (any flag) + falcon articles
-    // (location-flag filtered, articleExtractor.py:546-550); deduped like the
-    // reference's set() (outputRdf.py:185-189)
-    val linkChildren = if (locValue.isDefined)
+    // loc-row link children candidates (articleExtractor.py:546-550); the
+    // existence/flag filters are dictionary joins downstream
+    val linkCandidates = if (locValue.isDefined)
       locLinks.map(_.href).filter(DayPageParser.urlIsArticle)
-        .filter(d.artLocFlag.contains)
     else Nil
-    val falconChildren = falconEntities
-      .flatMap(e => d.wd2wp.get(bareWd(e)))
-      .filter(u => d.artLocFlag.get(u).contains(true))
-    val children = (falconChildren ++ linkChildren).distinct.sorted
 
-    val (timeRows, dateRows, _, _) = ArticleParser.extractDateTimeRows(a)
+    val (timeRows, dateRows, timeErrs, dateErrs) = ArticleParser.extractDateTimeRows(a)
     val vevent = a.ibClasses.contains("vevent")
 
-    EnrichedArticle(
+    PreEnriched(
       url = a.url,
       name = a.name, headline = a.headline,
       datePublished = a.datePublished, dateModified = a.dateModified,
       wdUri = wdUri,
+      wdBare = wdUri.map(bareWd),
       locationFlag = locFlag,
       pageCoordinates = a.pageCoordinates.getOrElse(Nil),
       ibCoordinates = a.ibCoordinates.getOrElse(Nil),
@@ -137,17 +143,123 @@ object Enrich {
       locValue = locValue,
       locLinkWkts = locLinkWkts,
       falconEntityUris = falconEntities,
-      classes = classes,
-      parentLocUris = parentLocs,
-      osmElements = osmElements,
       timeRows = timeRows,
       dateRows = dateRows,
+      nTimeParseErrors = timeErrs,
+      nDateParseErrors = dateErrs,
       microDtstart = if (vevent) a.microDtstart else None,
       microDtend = if (vevent) a.microDtend else None,
-      childUrls = children)
+      linkCandidates = linkCandidates)
   }
 
-  /** Build the dictionary bundle for a corpus (driver-side, then broadcast). */
+  private def assemble(pre: PreEnriched, classes: Seq[ClassLabel],
+      parentLocUris: Seq[String], osmElements: Seq[KOsmElement],
+      childUrls: Seq[String]): EnrichedArticle =
+    EnrichedArticle(
+      url = pre.url,
+      name = pre.name, headline = pre.headline,
+      datePublished = pre.datePublished, dateModified = pre.dateModified,
+      wdUri = pre.wdUri,
+      locationFlag = pre.locationFlag,
+      pageCoordinates = pre.pageCoordinates,
+      ibCoordinates = pre.ibCoordinates,
+      rawInfobox = pre.rawInfobox,
+      locLabel = pre.locLabel,
+      locValue = pre.locValue,
+      locLinkWkts = pre.locLinkWkts,
+      falconEntityUris = pre.falconEntityUris,
+      classes = classes,
+      parentLocUris = parentLocUris,
+      osmElements = osmElements,
+      timeRows = pre.timeRows,
+      dateRows = pre.dateRows,
+      nTimeParseErrors = pre.nTimeParseErrors,
+      nDateParseErrors = pre.nDateParseErrors,
+      microDtstart = pre.microDtstart,
+      microDtend = pre.microDtend,
+      childUrls = childUrls)
+
+  /** Sequential reference path (used by the test oracle): the same per-row
+    * function as production, with J1-J7 as plain map lookups.
+    */
+  def enrichOne(a: ArticleRaw, d: DictMaps): EnrichedArticle = {
+    val pre = preEnrichOne(a, d.placeTemplates, d.nArticles)
+
+    // J4-derived P31 classes + J1 label join (en only)
+    val classes = pre.wdBare.toSeq
+      .flatMap(w => d.p31.getOrElse(w, Nil))
+      .flatMap(c => d.classLabels.get(c).map(l => ClassLabel(c, l)))
+
+    // J2 parent locations (keys only are consumed downstream, outputRdf.py:540-557)
+    val parentLocs = pre.wdBare.toSeq.flatMap(w => d.parentLoc.getOrElse(w, Nil))
+      .map(p => Ns.WD + p)
+
+    val (relids, objs) = pre.wdBare.flatMap(d.wdOsm.get).getOrElse((Nil, Nil))
+    val osmElements = resolveOsm(relids, objs)
+
+    // children (depth+1): loc-row link articles (any flag) + falcon articles
+    // (location-flag filtered, articleExtractor.py:546-550); deduped like the
+    // reference's set() (outputRdf.py:185-189)
+    val linkChildren = pre.linkCandidates.filter(d.artLocFlag.contains)
+    val falconChildren = pre.falconEntityUris
+      .flatMap(e => d.wd2wp.get(bareWd(e)))
+      .filter(u => d.artLocFlag.get(u).contains(true))
+    val children = (falconChildren ++ linkChildren).distinct.sorted
+
+    assemble(pre, classes, parentLocs, osmElements, children)
+  }
+
+  /** Production path: J1-J7 as Catalyst joins against distributively-built
+    * dictionary Datasets (SURVEY.md §2.4 `spark.read.parquet + broadcast()`
+    * shape). The dictionaries carry `broadcast()` hints here because at test
+    * scale they fit; at 10^12-doc scale the hint is removed per-dict and the
+    * planner falls back to a shuffle join — the one-hop join in Pipeline
+    * already demonstrates the salted-skew fallback for that regime.
+    *
+    * Plan shape: one BroadcastHashJoin fills every wd-keyed field; the child
+    * resolution is explode → two broadcast joins → one hash aggregation
+    * keyed by article url, joined back (the only shuffles on this side).
+    */
+  def enrichJoined(parsed: Dataset[ArticleRaw], p: Synth.Params)(
+      implicit spark: SparkSession): Dataset[EnrichedArticle] = {
+    import spark.implicits._
+    val nArticles = p.articles
+    val pre = parsed.map(a => preEnrichOne(a, Dicts.placeTemplates, nArticles))
+
+    // J1/J2/J3/J4/J6 in one broadcast hash join on the wd key
+    val bundles = broadcast(Dicts.wdBundles(spark, p))
+    val withWd = pre.joinWith(bundles, pre("wdBare") === bundles("wd"), "left_outer")
+    val assembled = withWd.map { case (pr, b) =>
+      if (b == null) assemble(pr, Nil, Nil, Nil, Nil)
+      else assemble(pr, b.classes, b.parent_loc_uris, b.osm_elements, Nil)
+    }
+
+    // J5 falcon entity → wp url (inner join = the negative cache), then the
+    // location-flag membership join (flag must be true for falcon children)
+    val flags = broadcast(Dicts.artFlagsDs(spark, p).toDF())
+    val w2w = broadcast(Dicts.wd2wpDs(spark, p).toDF())
+    val falconKids = pre.flatMap(r => r.falconEntityUris.map(e => (r.url, bareWd(e))))
+      .toDF("url", "cwd")
+      .join(w2w, col("cwd") === col("wd_id"))
+      .select(col("url"), col("wp_url").as("child"))
+      .join(flags, col("child") === col("art_url") && col("loc_flag"))
+      .select("url", "child")
+    // loc-row link children: existence is enough (any flag)
+    val linkKids = pre.flatMap(r => r.linkCandidates.map(c => (r.url, c)))
+      .toDF("url", "child")
+      .join(flags, col("child") === col("art_url"))
+      .select("url", "child")
+    val kids = falconKids.unionByName(linkKids)
+      .groupBy(col("url"))
+      .agg(sort_array(collect_set(col("child"))).as("children")) // = distinct.sorted
+      .select(col("url").as("_1"), col("children").as("_2"))
+      .as[(String, Seq[String])]
+
+    assembled.joinWith(kids, assembled("url") === kids("_1"), "left_outer")
+      .map { case (e, k) => if (k == null) e else e.copy(childUrls = k._2) }
+  }
+
+  /** Build the sequential dictionary bundle (test oracle only). */
   def buildDicts(p: Synth.Params): DictMaps = {
     val arts = (0 until p.articles).map(i => Synth.article(p, i))
     val withWd = arts.filter(a => a.wdId.isDefined)

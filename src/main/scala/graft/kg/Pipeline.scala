@@ -67,11 +67,10 @@ object Pipeline {
 
   def enrichedArticles(spark: SparkSession, p: Synth.Params): Dataset[EnrichedArticle] = {
     import spark.implicits._
-    val dicts = spark.sparkContext.broadcast(Enrich.buildDicts(p))
     val articlesRaw = articleDocs(spark, p)
       .flatMap(ArticleParser.parse(_))
       .dropDuplicates("url") // J9: the reference's LRU memo, Spark-native
-    Enrich.enrich(articlesRaw, dicts)(spark)
+    Enrich.enrichJoined(articlesRaw, p)(spark)
   }
 
   /** All article hrefs a doc needs resolved: event sentence links (phrase
@@ -163,16 +162,36 @@ object Pipeline {
     }
 
     // ---- ohg module: one-hop dictionary join (the skew hotspot) ------------
+    // Broadcast while the dictionary fits the executor budget; beyond that a
+    // plain shuffle join would put every head entity's probe volume on one
+    // task (Zipf skew), so the fallback routes through SaltedJoin (north
+    // rule: broadcast dictionary join + salted skew-join fallback). The
+    // threshold is a conf so specs can force either path on the same corpus.
     val onehop = spark.range(p.articles)
       .flatMap(i => if (Synth.article(p, i.toInt).wdId.isDefined) Dicts.onehopFor(i.toInt) else Nil)
     val wdMentions = mentArts
       .flatMap { case (m, a) => a.wdUri.map(w => (w, m.date)) }
       .distinct()
-    val ohgTriples = wdMentions
-      .joinWith(broadcast(onehop), wdMentions("_1") === onehop("subj_wd"))
-      .map { case ((_, date), r) =>
-        Triple("ohg", r.subj_wd, r.pred, r.obj, r.obj_is_iri,
-          r.obj_dtype.orNull, r.obj_lang.orNull, date)
+    val bcastMaxArticles =
+      spark.conf.get("graft.onehop.broadcast.maxArticles", "1000000").toInt
+    val ohgTriples: Dataset[Triple] =
+      if (p.articles <= bcastMaxArticles)
+        wdMentions
+          .joinWith(broadcast(onehop), wdMentions("_1") === onehop("subj_wd"))
+          .map { case ((_, date), r) =>
+            Triple("ohg", r.subj_wd, r.pred, r.obj, r.obj_is_iri,
+              r.obj_dtype.orNull, r.obj_lang.orNull, date)
+          }
+      else {
+        val hotThreshold =
+          spark.conf.get("graft.onehop.salt.hotThreshold", "10000").toLong
+        graft.plans.SaltedJoin.join(
+            wdMentions.toDF("subj_wd", "event_date"), onehop.toDF(), "subj_wd",
+            hotThreshold = hotThreshold)
+          .select(lit("ohg").as("graph_module"), col("subj_wd").as("subj"),
+            col("pred"), col("obj"), col("obj_is_iri"),
+            col("obj_dtype"), col("obj_lang"), col("event_date"))
+          .as[Triple]
       }
 
     dayTriples

@@ -52,6 +52,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(pruned.schema.fieldNames.toSeq == Seq("doc_id", "spans"))
   }
 
+  test("dictionary enrichment runs as Catalyst broadcast hash joins") {
+    val p = Synth.paramsFor("/root/testdata/sf0.001")
+    val plan = Pipeline.enrichedArticles(spark, p)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected BroadcastHashJoin in enrich plan:\n${plan.take(4000)}")
+  }
+
+  test("salted one-hop shuffle join path emits the same triple set") {
+    val sfDir = "/root/testdata/sf0.001"
+    val broadcastPath = Pipeline.triples(spark, sfDir).collect().toSet
+    spark.conf.set("graft.onehop.broadcast.maxArticles", "0") // force salt path
+    spark.conf.set("graft.onehop.salt.hotThreshold", "3") // engage hot keys
+    try {
+      val saltedPath = Pipeline.triples(spark, sfDir).collect().toSet
+      assert(saltedPath == broadcastPath)
+    } finally {
+      spark.conf.unset("graft.onehop.broadcast.maxArticles")
+      spark.conf.unset("graft.onehop.salt.hotThreshold")
+    }
+  }
+
   test("all four graph modules are populated, osm > base per-article shape") {
     val sfDir = "/root/testdata/sf0.001"
     val counts = Pipeline.triples(spark, sfDir)
