@@ -25,8 +25,10 @@ object ConnectedComponents {
   def run(edges: DataFrame, maxIter: Int = 30): DataFrame = {
     val src = edges.columns(0)
     val dst = edges.columns(1)
+    // the symmetrized edge list feeds every round — persist it once
     val sym = edges.select(col(src).as("u"), col(dst).as("v"))
       .union(edges.select(col(dst).as("u"), col(src).as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // init: component = min(self, direct neighbors); every node appears as
     // `u` in the symmetrized edge list.
     var assign = sym.groupBy(col("u").as("node"))
@@ -37,24 +39,27 @@ object ConnectedComponents {
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      // 1-hop propagation: comp'(n) = min(comp(n), min_{v∈N(n)} comp(v))
+      // 1-hop propagation: comp'(n) = min(comp(n), min_{v∈N(n)} comp(v));
+      // the previous assignment rides along so convergence is a filter on
+      // the checkpointed result, not a join + recompute
       val viaNbr = sym.join(assign.withColumnRenamed("node", "v"), Seq("v"))
         .groupBy(col("u").as("node")).agg(min(col("comp")).as("nbr_comp"))
-      val prop = assign.join(viaNbr, Seq("node"), "left")
-        .select(col("node"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+      val prop = assign.withColumnRenamed("comp", "prev")
+        .join(viaNbr, Seq("node"), "left")
+        .select(col("node"), col("prev"),
+          least(col("prev"), coalesce(col("nbr_comp"), col("prev"))).as("comp"))
       // pointer jump: comp''(n) = comp'(comp'(n))  (comp'(m) <= m always)
       val jump = prop.as("x")
         .join(prop.select(col("node").as("comp"), col("comp").as("jcomp")).as("y"),
           Seq("comp"), "left")
-        .select(col("node"), coalesce(col("jcomp"), col("comp")).as("comp"))
+        .select(col("node"), col("prev"),
+          coalesce(col("jcomp"), col("comp")).as("comp"))
         .localCheckpoint(eager = true)
-      val changed = jump.as("n").join(assign.as("o"), Seq("node"))
-        .filter(col("n.comp") =!= col("o.comp")).limit(1).count()
-      converged = changed == 0
-      assign = jump
+      converged = jump.filter(col("comp") =!= col("prev")).limit(1).isEmpty
+      assign = jump.select(col("node"), col("comp"))
       it += 1
     }
+    sym.unpersist(blocking = false)
     assign
   }
 }

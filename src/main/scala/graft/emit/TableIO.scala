@@ -88,13 +88,17 @@ object TableIO {
     val slice = df.filter(col(partCol).isin(keys: _*))
       // align the write exchange with the partition spec
       .repartition(col(partCol))
-    val counts = slice.groupBy(partCol).count().collect()
-      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+      // ONE pipeline compute per commit: the write materializes the cache,
+      // the lineage-count pass below reads it back instead of recomputing
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     slice.write
       .mode(SaveMode.Overwrite)
       .partitionBy(partCol)
       .option("partitionOverwriteMode", "dynamic")
       .parquet(dataDir(table).toString)
+    val counts = slice.groupBy(partCol).count().collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    slice.unpersist(blocking = false)
     // dynamic overwrite leaves untouched any requested partition that had no
     // rows this time — drop its stale directory so snapshot and data agree
     for (k <- keys if counts.getOrElse(k, 0L) == 0L) {

@@ -35,8 +35,10 @@ object Materialize {
       val dates = datesOfMonth(p, year, month)
       val todo = TableIO.uncommitted(table, dates)
       if (todo.nonEmpty) {
-        val triples = Pipeline.triples(spark, sfDir, Some(todo.toSet))
+        val (triples, intermediates) =
+          Pipeline.triplesTracked(spark, p, Some(todo.toSet))
         TableIO.replacePartitions(spark, table, triples.toDF(), "event_date", todo)
+        intermediates.foreach(_.unpersist(blocking = false)) // month committed
         committed += todo.size
       }
     }

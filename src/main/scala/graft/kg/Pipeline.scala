@@ -115,7 +115,25 @@ object Pipeline {
     triplesFor(spark, Synth.paramsFor(sfDir), onlyDates)
 
   def triplesFor(spark: SparkSession, p: Synth.Params,
+      onlyDates: Option[Set[String]] = None): Dataset[Triple] =
+    triplesTracked(spark, p, onlyDates)._1
+
+  /** Build + persist + materialize the triple table, then release the
+    * intermediate stage caches (articles / doc-join / mentions) the build
+    * holds — long-lived consumers (KgPipeline's query cache, benches) keep
+    * only the one result cache instead of leaking four.
+    */
+  def materializedTriples(spark: SparkSession, sfDir: String,
       onlyDates: Option[Set[String]] = None): Dataset[Triple] = {
+    val (t, intermediates) = triplesTracked(spark, Synth.paramsFor(sfDir), onlyDates)
+    val persisted = t.persist(StorageLevel.MEMORY_AND_DISK)
+    persisted.count()
+    intermediates.foreach(_.unpersist(blocking = false))
+    persisted
+  }
+
+  def triplesTracked(spark: SparkSession, p: Synth.Params,
+      onlyDates: Option[Set[String]] = None): (Dataset[Triple], Seq[Dataset[_]]) = {
     import spark.implicits._
 
     val days = parsedDays(spark, p, onlyDates)
@@ -194,9 +212,10 @@ object Pipeline {
           .as[Triple]
       }
 
-    dayTriples
+    val out = dayTriples
       .unionByName(articleTriples)
       .unionByName(ohgTriples)
       .dropDuplicates() // D1: rdflib graph set semantics
+    (out, Seq(articles, docJoined, depth1, mentArts))
   }
 }

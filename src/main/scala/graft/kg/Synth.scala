@@ -104,9 +104,15 @@ object Synth {
     "About 1:00 a.m. (local time, UTC+3)", "c. 1:15 p.m.", "13:05",
     "9:00 am to 5:30 pm", "midnight")
 
+  /** Generator's location intent for article i — the hand-label ground
+    * truth the location-classifier eval (kg10) scores against. Single
+    * definition so the generator and the eval cannot drift.
+    */
+  def isLocationIntent(i: Int): Boolean = chance(2, 5, h(7L, i.toLong), 1)
+
   def article(p: Params, i: Int): MArticle = {
     val s = h(7L, i.toLong)
-    val isLocation = chance(2, 5, s, 1) // 40% of articles are places
+    val isLocation = isLocationIntent(i) // 40% of articles are places
     val exists = !chance(1, 20, s, 2) // 5% redirect-ish (no JSON-LD)
     val isNamespace = chance(1, 25, s, 3) // 4% namespace links
     val slug = s"${words(pick(words.length, s, 4)).capitalize}_${words(pick(words.length, s, 5))}_$i"
