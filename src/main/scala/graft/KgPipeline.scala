@@ -134,8 +134,11 @@ object KgPipeline {
       .orderBy(col("date"), col("event"), col("article"), col("wkt"))
   }
 
-  // Q5: topic graph with labels and earliest mention date, pure TextTopics
-  // via anti-join (create_topic_graph.py:363-393)
+  // Q5: topic graph with labels and earliest mention date. Label semantics
+  // follow the reference's UNION (create_topic_graph.py:363-393): an
+  // ArticleTopic is labeled by its article's schema:name (via
+  // gn:wikipediaArticle); a pure TextTopic (FILTER NOT EXISTS ArticleTopic)
+  // by its own rdfs:label.
   def kg06TopicGraph(s: SparkSession, d: String): DataFrame = {
     // the shared edge cache is already (subj, pred, obj)-distinct, so each
     // fixed-predicate projection below is unique per (subj, obj)
@@ -145,12 +148,24 @@ object KgPipeline {
     val articleTopics = t.filter(col("pred") === Ns.rdfType && col("obj") === Ns.COY + "ArticleTopic")
       .select(col("subj").as("topic"))
     val pureText = topics.join(articleTopics, Seq("topic"), "left_anti")
-    // prefix-prune to topic subjects BEFORE the distinct: rdfs:label spans
-    // the whole KG (sentences/phrases/articles), topics are a tiny slice
+    // prefix-prune to topic subjects: these predicates span the whole KG
+    // (sentences/phrases/articles), topics are a tiny slice
     val isTopicUri = col("subj").startsWith(Ns.articleTopics) ||
       col("subj").startsWith(Ns.textTopics)
-    val labels = t.filter(col("pred") === Ns.rdfsLabel && isTopicUri)
+    // ArticleTopic branch: topic —gn:wikipediaArticle→ article —schema:name→ l
+    val wpArt = t.filter(col("pred") === Ns.GN + "wikipediaArticle" && isTopicUri)
+      .select(col("subj").as("topic"), col("obj").as("art"))
+    val artNames = t.filter(col("pred") === Ns.SCHEMA + "name" &&
+        col("subj").startsWith(Ns.wikipediaArticle))
+      .select(col("subj").as("art"), col("obj").as("label"))
+    val articleLabels = articleTopics
+      .join(wpArt, Seq("topic")).join(artNames, Seq("art"))
+      .select(col("topic"), col("label"))
+    // pure-TextTopic branch: own rdfs:label, FILTER NOT EXISTS ArticleTopic
+    val textLabels = t.filter(col("pred") === Ns.rdfsLabel && isTopicUri)
       .select(col("subj").as("topic"), col("obj").as("label"))
+      .join(pureText, Seq("topic"), "left_semi")
+    val labels = articleLabels.unionByName(textLabels)
     val parents = t.filter(col("pred") === Ns.COY + "isOccuringDuring" && isTopicUri)
       .select(col("subj").as("topic"), col("obj").as("parent"))
     val dates = t.filter(col("pred") === Ns.COY + "hasMentionDate" && isTopicUri)
@@ -167,16 +182,56 @@ object KgPipeline {
   }
 
   // Q6: event × wikidata event-type rows (company_events_per_month_diagram.py:59-77)
+  // with the company-subclass closure membership per type (the reference's
+  // cached ASK P279*/P460? Q783794, :184-189 — pre-baked as the
+  // company_subclasses dim of FIXTURES.md §2).
   def kg07EventTypes(s: SparkSession, d: String): DataFrame = {
     val t = edges(s, d)
     val types = t.filter(col("pred") === Ns.COY + "hasWikidataEventType")
       .select(col("subj").as("event"), col("obj").as("wd_class"))
     val labels = t.filter(col("pred") === Ns.rdfsLabel)
       .select(col("subj").as("wd_class"), col("obj").as("class_label"))
+    val company = Dicts.companySubclassesDs(s)
+      .select(concat(lit(Ns.WD), col("value")).as("wd_class"), lit(1).as("is_company_subclass"))
     types.join(labels, Seq("wd_class"), "left")
-      .select(col("event"), col("wd_class"), col("class_label"))
+      .join(broadcast(company), Seq("wd_class"), "left")
+      .select(col("event"), col("wd_class"), col("class_label"),
+        coalesce(col("is_company_subclass"), lit(0)).as("is_company_subclass"))
       .distinct()
       .orderBy(col("event"), col("wd_class"))
+  }
+
+  // Q6 (entity side): distinct company entities mentioned by events — the
+  // exact reference chain (company_events_per_month_diagram.py:150-177):
+  // event —isIdentifiedBy→ ctx —subString/subString→ phrase
+  // —gn:wikipediaArticle→ article —owl:sameAs→ wd —wdt:P31→ type, keeping
+  // entities whose type is in the company-subclass closure.
+  def kg11CompanyEntities(s: SparkSession, d: String): DataFrame = {
+    val t = edges(s, d)
+    def p(pred: String) = t.filter(col("pred") === pred)
+      .select(col("subj"), col("obj"))
+    val evCtx = p(Ns.COY + "isIdentifiedBy")
+      .filter(col("subj").startsWith(Ns.events))
+      .select(col("subj").as("event"), col("obj").as("ctx"))
+    val ctxSent = p(Ns.NIF + "subString").select(col("subj").as("ctx"), col("obj").as("sent"))
+      .filter(col("sent").startsWith(Ns.sentences))
+    val sentPhrase = p(Ns.NIF + "subString").select(col("subj").as("sent"), col("obj").as("phrase"))
+      .filter(col("phrase").startsWith(Ns.phrases))
+    val phraseArt = p(Ns.GN + "wikipediaArticle")
+      .filter(col("subj").startsWith(Ns.phrases))
+      .select(col("subj").as("phrase"), col("obj").as("article"))
+    val sameAs = p(Ns.owlSameAs)
+      .filter(col("subj").startsWith(Ns.wikipediaArticle))
+      .select(col("subj").as("article"), col("obj").as("wd"))
+    val p31 = p("http://www.wikidata.org/prop/direct/P31")
+      .select(col("subj").as("wd"), col("obj").as("tpe"))
+    val company = Dicts.companySubclassesDs(s)
+      .select(concat(lit(Ns.WD), col("value")).as("tpe"))
+    evCtx.join(ctxSent, "ctx").join(sentPhrase, "sent").join(phraseArt, "phrase")
+      .join(sameAs, "article").join(p31, "wd")
+      .join(broadcast(company), Seq("tpe"), "left_semi")
+      .select(col("wd")).distinct()
+      .orderBy(col("wd"))
   }
 
   // Canonicalization: connected components over owl:sameAs (north rule) —
@@ -218,6 +273,74 @@ object KgPipeline {
         "(1000000 * (tp + tn)) DIV greatest(tp + fp + fn + tn, 1) AS accuracy_e6")
   }
 
+  // A4: the reference's monthly analytics counter set (analytics.py:120-184
+  // analogues — extraction counts, article-cache hit/miss, per-article
+  // enrichment flags and the parse-error counts the extractor logs at
+  // articleExtractor.py:50-63). One day-side parse pass + one broadcast-
+  // joined article pass, rolled up per month.
+  def kg12MonthlyMetrics(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = Synth.paramsFor(d)
+    val perDay = Pipeline.dayDocs(s, p).map { doc =>
+      val (events, topics, refs) = DayPageParser.parse(doc)
+      val ym = doc.doc_id.stripPrefix("day:").take(7)
+      // every event-sentence/topic link is one get_article request; the LRU
+      // cache analogue: hits = repeat requests of an already-fetched url
+      val hrefs = events.flatMap(_.sentences.flatMap(_.links).map(_.href)) ++
+        topics.flatMap(_.linkHref)
+      (ym, events.size.toLong, topics.size.toLong,
+        events.map(_.sentences.size.toLong).sum, refs.size.toLong,
+        events.count(_.refs.nonEmpty).toLong, hrefs)
+    }.toDF("ym", "n_events", "n_topics", "n_sentences", "n_references",
+      "n_events_with_refs", "hrefs")
+    val monthly = perDay.groupBy(col("ym")).agg(
+      count(lit(1)).as("n_days"),
+      sum(col("n_events")).as("n_events"),
+      sum(col("n_topics")).as("n_topics"),
+      sum(col("n_sentences")).as("n_sentences"),
+      sum(col("n_references")).as("n_references"),
+      sum(col("n_events_with_refs")).as("n_events_with_refs"))
+    val reqs = perDay.select(col("ym"), explode(col("hrefs")).as("href"))
+    val cacheStats = reqs.groupBy(col("ym")).agg(
+      count(lit(1)).as("n_article_requests"),
+      countDistinct(col("href")).as("article_cache_misses"))
+      .withColumn("article_cache_hits",
+        col("n_article_requests") - col("article_cache_misses"))
+    val artStats = reqs.distinct()
+      .join(Pipeline.enrichedArticles(s, p), col("href") === col("url"))
+      .groupBy(col("ym")).agg(
+        count(lit(1)).as("n_articles_resolved"),
+        sum(when(col("wdUri").isNotNull, 1L).otherwise(0L)).as("n_articles_with_wd"),
+        sum(when(col("locationFlag"), 1L).otherwise(0L)).as("n_articles_with_loc_flag"),
+        sum(when(size(col("osmElements")) > 0, 1L).otherwise(0L)).as("n_articles_with_osm"),
+        sum(when(size(col("falconEntityUris")) > 0, 1L).otherwise(0L)).as("n_articles_with_falcon"),
+        sum(col("nTimeParseErrors").cast("long")).as("n_time_parse_errors"),
+        sum(col("nDateParseErrors").cast("long")).as("n_date_parse_errors"))
+    monthly
+      .join(cacheStats, Seq("ym"), "left")
+      .join(artStats, Seq("ym"), "left")
+      .na.fill(0L)
+      .orderBy(col("ym"))
+  }
+
+  // Q9: the reference's cumulative cache-hit-ratio window over the monthly
+  // metrics table (hit_ratio_per_month.py:36-71) — per-month ratio plus the
+  // running cumulative ratio, exact integer arithmetic.
+  def kg13HitRatioWindow(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = kg12MonthlyMetrics(s, d)
+      .select(col("ym"), col("article_cache_hits").as("hits"),
+        col("article_cache_misses").as("misses"))
+    val w = Window.orderBy(col("ym"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    m.withColumn("cum_hits", sum(col("hits")).over(w))
+      .withColumn("cum_total", sum(col("hits") + col("misses")).over(w))
+      .select(col("ym"), col("hits"), col("misses"),
+        expr("(1000000 * hits) DIV (hits + misses)").as("ratio_e6"),
+        expr("(1000000 * cum_hits) DIV cum_total").as("cumulative_ratio_e6"))
+      .orderBy(col("ym"))
+  }
+
   // A4: per-partition lineage metrics in one agg pass (analytics.py counters)
   def kg09PartitionMetrics(s: SparkSession, d: String): DataFrame =
     triples(s, d).groupBy(col("event_date"), col("graph_module"))
@@ -237,7 +360,10 @@ object KgPipeline {
     "kg07_event_types" -> (kg07EventTypes _),
     "kg08_canonical_clusters" -> (kg08CanonicalClusters _),
     "kg09_partition_metrics" -> (kg09PartitionMetrics _),
-    "kg10_location_eval" -> (kg10LocationEval _))
+    "kg10_location_eval" -> (kg10LocationEval _),
+    "kg11_company_entities" -> (kg11CompanyEntities _),
+    "kg12_monthly_metrics" -> (kg12MonthlyMetrics _),
+    "kg13_hit_ratio_window" -> (kg13HitRatioWindow _))
 
   def oracleSql: Map[String, String] = Map()
 }

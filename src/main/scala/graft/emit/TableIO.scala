@@ -28,7 +28,8 @@ import org.apache.spark.sql.functions._
   */
 object TableIO {
 
-  case class PartitionMeta(key: String, rows: Long, files: Int)
+  case class PartitionMeta(key: String, rows: Long, files: Int,
+      metrics: Map[String, Long] = Map.empty)
   case class Manifest(snapshotId: Long, partitions: Map[String, PartitionMeta])
 
   private def manifestDir(table: String): Path = Paths.get(table, "_manifests")
@@ -45,8 +46,14 @@ object TableIO {
     val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
     val sid = lines.head.toLong
     val parts = lines.tail.map { l =>
-      val Array(k, rows, files) = l.split("\t")
-      k -> PartitionMeta(k, rows.toLong, files.toInt)
+      val f = l.split("\t", -1)
+      val metrics =
+        if (f.length > 3 && f(3).nonEmpty)
+          f(3).split(";").map { kv =>
+            val Array(k, v) = kv.split("=", 2); k -> v.toLong
+          }.toMap
+        else Map.empty[String, Long]
+      f(0) -> PartitionMeta(f(0), f(1).toLong, f(2).toInt, metrics)
     }.toMap
     Manifest(sid, parts)
   }
@@ -57,7 +64,10 @@ object TableIO {
     val name = s"manifest-${m.snapshotId}"
     val body = (Seq(m.snapshotId.toString) ++
       m.partitions.values.toSeq.sortBy(_.key)
-        .map(p => s"${p.key}\t${p.rows}\t${p.files}")).mkString("\n")
+        .map { p =>
+          val ms = p.metrics.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(";")
+          s"${p.key}\t${p.rows}\t${p.files}\t$ms"
+        }).mkString("\n")
     val tmp = dir.resolve(name + ".tmp")
     Files.writeString(tmp, body)
     Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE,
@@ -80,10 +90,13 @@ object TableIO {
   /** REPLACE-WHERE write: materialize exactly the given partitions of `df`
     * (partitioned by `partCol`), replacing any previous version of those
     * partitions, then commit a new snapshot covering old ∪ new. Lineage
-    * metrics (row count per partition) are recorded in the manifest.
+    * metrics are recorded per partition in the manifest: the row count plus
+    * whatever counters `metricsFn` derives from the (persisted) slice —
+    * called after the write so the counters read the cache, not a recompute.
     */
   def replacePartitions(spark: SparkSession, table: String, df: DataFrame,
-      partCol: String, keys: Seq[String]): Manifest = {
+      partCol: String, keys: Seq[String],
+      metricsFn: DataFrame => Map[String, Map[String, Long]] = _ => Map.empty): Manifest = {
     val prev = currentManifest(table)
     val slice = df.filter(col(partCol).isin(keys: _*))
       // align the write exchange with the partition spec
@@ -98,6 +111,7 @@ object TableIO {
       .parquet(dataDir(table).toString)
     val counts = slice.groupBy(partCol).count().collect()
       .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val lineage = metricsFn(slice)
     slice.unpersist(blocking = false)
     // dynamic overwrite leaves untouched any requested partition that had no
     // rows this time — drop its stale directory so snapshot and data agree
@@ -108,7 +122,7 @@ object TableIO {
       }
     }
     val newParts = keys.map { k =>
-      k -> PartitionMeta(k, counts.getOrElse(k, 0L), 1)
+      k -> PartitionMeta(k, counts.getOrElse(k, 0L), 1, lineage.getOrElse(k, Map.empty))
     }.toMap
     val m = Manifest(prev.snapshotId + 1, prev.partitions ++ newParts)
     writeManifest(table, m)

@@ -32,6 +32,33 @@ object Dicts {
 
   def wdIdOf(articleIdx: Int): String = s"Q${articleIdx + 100}"
 
+  /** P279 subclass edge among the synthetic classes: a binary tree rooted at
+    * Q1 (class c subclass-of c/2). Deterministic so the closure below is the
+    * pre-baked equivalent of walking wdt:P279 on real Wikidata.
+    */
+  def classParent(c: Int): Option[Int] = if (c <= 1) None else Some(c / 2)
+
+  /** The class declared P460-equivalent to wd:Q783794 ("company"). */
+  val companyEquivalentClass = 5 // closure = {Q5, Q10, Q11, Q20, Q21, Q22, Q23}
+
+  /** `company_subclasses` dim (FIXTURES.md §2): classes whose P279 chain
+    * reaches the company-equivalent class — the pre-baked closure of the
+    * reference's ASK on wdt:P279-star / wdt:P460-opt to wd:Q783794
+    * (company_events_per_month_diagram.py:184-189).
+    */
+  def companySubclasses: Seq[String] =
+    (1 to nClasses).filter { c =>
+      Iterator.iterate(Option(c))(_.flatMap(classParent))
+        .takeWhile(_.isDefined).map(_.get)
+        .contains(companyEquivalentClass)
+    }.map(c => s"Q$c")
+
+  def companySubclassesDs(spark: org.apache.spark.sql.SparkSession):
+      org.apache.spark.sql.Dataset[String] = {
+    import spark.implicits._
+    spark.createDataset(companySubclasses)
+  }
+
   /** P31 classes of an article's wd entity (1-2, hash-chosen). */
   def p31ClassesFor(i: Int): Seq[String] = {
     val s = h(23L, i.toLong)

@@ -17,6 +17,39 @@ import graft.emit.TableIO
   */
 object Materialize {
 
+  /** Per-partition lineage counters for the manifest (north rule:
+    * "per-partition checkpointing, lineage records"): triple/module/entity
+    * counts from the committed slice plus the article date/time parse-error
+    * counts the reference logs per run (analytics.py:120-184,
+    * articleExtractor.py:50-63).
+    */
+  def lineageMetrics(slice: org.apache.spark.sql.DataFrame,
+      errorsByDate: org.apache.spark.sql.DataFrame): Map[String, Map[String, Long]] = {
+    def nsCount(prefix: String) =
+      countDistinct(when(col("subj").startsWith(prefix), col("subj")))
+    val counters = slice.groupBy(col("event_date")).agg(
+      count(lit(1)).as("n_triples"),
+      countDistinct(col("subj")).as("n_subjects"),
+      sum(when(col("obj_is_iri"), 1L).otherwise(0L)).as("n_iri_objects"),
+      sum(when(col("graph_module") === "base", 1L).otherwise(0L)).as("n_base"),
+      sum(when(col("graph_module") === "raw", 1L).otherwise(0L)).as("n_raw"),
+      sum(when(col("graph_module") === "osm", 1L).otherwise(0L)).as("n_osm"),
+      sum(when(col("graph_module") === "ohg", 1L).otherwise(0L)).as("n_ohg"),
+      nsCount(Ns.events).as("n_events"),
+      (nsCount(Ns.textTopics) + nsCount(Ns.articleTopics)).as("n_topics"),
+      nsCount(Ns.wikipediaArticle).as("n_articles"),
+      nsCount(Ns.osmElement).as("n_osm_elements"),
+      nsCount(Ns.sentences).as("n_sentences"))
+    counters.join(errorsByDate, Seq("event_date"), "left")
+      .na.fill(0L)
+      .collect()
+      .map { r =>
+        val key = r.getString(r.fieldIndex("event_date"))
+        key -> r.schema.fieldNames.filter(_ != "event_date")
+          .map(f => f -> r.getLong(r.fieldIndex(f))).toMap
+      }.toMap
+  }
+
   def datesOfMonth(p: Synth.Params, year: Int, month: Int): Seq[String] =
     Synth.allDaysOf(p).filter(x => x._1 == year && x._2 == month)
       .map { case (y, m, d) => f"$y%04d-$m%02d-$d%02d" }
@@ -35,10 +68,10 @@ object Materialize {
       val dates = datesOfMonth(p, year, month)
       val todo = TableIO.uncommitted(table, dates)
       if (todo.nonEmpty) {
-        val (triples, intermediates) =
-          Pipeline.triplesTracked(spark, p, Some(todo.toSet))
-        TableIO.replacePartitions(spark, table, triples.toDF(), "event_date", todo)
-        intermediates.foreach(_.unpersist(blocking = false)) // month committed
+        val b = Pipeline.trackedBuild(spark, p, Some(todo.toSet))
+        TableIO.replacePartitions(spark, table, b.triples.toDF(), "event_date",
+          todo, metricsFn = slice => lineageMetrics(slice, b.articleErrorsByDate))
+        b.releaseCaches() // month committed
         committed += todo.size
       }
     }

@@ -125,15 +125,30 @@ object Pipeline {
     */
   def materializedTriples(spark: SparkSession, sfDir: String,
       onlyDates: Option[Set[String]] = None): Dataset[Triple] = {
-    val (t, intermediates) = triplesTracked(spark, Synth.paramsFor(sfDir), onlyDates)
-    val persisted = t.persist(StorageLevel.MEMORY_AND_DISK)
+    val b = trackedBuild(spark, Synth.paramsFor(sfDir), onlyDates)
+    val persisted = b.triples.persist(StorageLevel.MEMORY_AND_DISK)
     persisted.count()
-    intermediates.foreach(_.unpersist(blocking = false))
+    b.releaseCaches()
     persisted
+  }
+
+  /** A triple build plus the stage caches it holds (released by the caller
+    * once the result is materialized) and the per-date article parse-error
+    * lineage (cheap to aggregate while the mention cache is still hot).
+    */
+  case class Build(triples: Dataset[Triple], caches: Seq[Dataset[_]],
+      articleErrorsByDate: DataFrame) {
+    def releaseCaches(): Unit = caches.foreach(_.unpersist(blocking = false))
   }
 
   def triplesTracked(spark: SparkSession, p: Synth.Params,
       onlyDates: Option[Set[String]] = None): (Dataset[Triple], Seq[Dataset[_]]) = {
+    val b = trackedBuild(spark, p, onlyDates)
+    (b.triples, b.caches)
+  }
+
+  def trackedBuild(spark: SparkSession, p: Synth.Params,
+      onlyDates: Option[Set[String]] = None): Build = {
     import spark.implicits._
 
     val days = parsedDays(spark, p, onlyDates)
@@ -216,6 +231,17 @@ object Pipeline {
       .unionByName(articleTriples)
       .unionByName(ohgTriples)
       .dropDuplicates() // D1: rdflib graph set semantics
-    (out, Seq(articles, docJoined, depth1, mentArts))
+
+    // lineage: article parse errors attributed to each mention date, one
+    // count per (date, article) — reads the mention cache (O5)
+    val errorsByDate = mentArts
+      .map { case (m, a) => (m.date, a.url, a.nTimeParseErrors, a.nDateParseErrors) }
+      .distinct()
+      .toDF("event_date", "url", "time_errs", "date_errs")
+      .groupBy(col("event_date"))
+      .agg(sum(col("time_errs")).cast("long").as("n_time_parse_errors"),
+        sum(col("date_errs")).cast("long").as("n_date_parse_errors"))
+
+    Build(out, Seq(articles, docJoined, depth1, mentArts), errorsByDate)
   }
 }

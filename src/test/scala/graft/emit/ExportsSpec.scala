@@ -25,6 +25,29 @@ class ExportsSpec extends AnyFunSuite {
     assert(lines.contains("<http://s> <http://p> \"hallo\"@de ."))
   }
 
+  test("per-month × per-module JSON-LD + merged TTL export naming and content") {
+    import spark.implicits._
+    val ts = Seq(
+      Triple("base", "http://s1", "http://p", "http://o", true, null, null, "2022-01-01"),
+      Triple("base", "http://s1", "http://p", "text \"v\"", false, Ns.xsdString, null, "2022-01-01"),
+      Triple("raw", "http://s2", "http://p", "<html>", false, Ns.xsdString, null, "2022-01-02"),
+      Triple("ohg", "http://s3", "http://p", "hallo", false, null, "de", "2022-01-01"),
+      Triple("osm", "http://s4", "http://p", "POINT(1 1)", false, Ns.geoWktLiteral, null, "2022-01-01")).toDS()
+    val dir = Files.createTempDirectory("graft_exports").toString
+    val files = Exports.saveMonthGraphs(spark, ts, dir, "January_2022")
+    // reference naming: {prefix}_{module}.jsonld per module + merged {prefix}.ttl
+    assert(files.toSet == Set("January_2022_base.jsonld", "January_2022_raw.jsonld",
+      "January_2022_ohg.jsonld", "January_2022_osm.jsonld", "January_2022.ttl"))
+    // JSON-LD round-trips through a JSON parser; node count == distinct subjects
+    val base = spark.read.option("multiLine", true)
+      .json(s"$dir/January_2022_base.jsonld")
+    assert(base.count() == 1 && base.select("`@id`").head().getString(0) == "http://s1")
+    // merged TTL covers every module's triples, one line each
+    val ttl = Files.readAllLines(java.nio.file.Paths.get(dir, "January_2022.ttl"))
+    assert(ttl.size() == 5)
+    assert(ttl.toArray.exists(_.toString.contains("\"hallo\"@de")))
+  }
+
   test("event debug NDJSON sink emits first located link per event") {
     import spark.implicits._
     val p = Synth.paramsFor("/root/testdata/sf0.001")

@@ -41,6 +41,22 @@ class MaterializeSpec extends AnyFunSuite {
     assert(gotSet == fullSet)
   }
 
+  test("manifest carries per-partition lineage counters incl parse errors") {
+    val table = Files.createTempDirectory("graft_triples_metrics").toString
+    Materialize.run(spark, sfDir, table, maxMonths = 1)
+    val m = TableIO.currentManifest(table)
+    val metrics = m.partitions("2022-01-05").metrics
+    assert(metrics.size >= 10, s"expected >=10 lineage counters, got $metrics")
+    assert(metrics.contains("n_time_parse_errors") && metrics.contains("n_date_parse_errors"))
+    assert(metrics("n_triples") == m.partitions("2022-01-05").rows)
+    assert(metrics("n_events") > 0 && metrics("n_articles") > 0)
+    // counters survive the manifest round-trip and a snapshot bump
+    val someDate = "2022-01-06"
+    val t = Pipeline.triples(spark, sfDir, Some(Set(someDate)))
+    TableIO.replacePartitions(spark, table, t.toDF(), "event_date", Seq(someDate))
+    assert(TableIO.currentManifest(table).partitions("2022-01-05").metrics == metrics)
+  }
+
   test("idempotence: a second run over a complete snapshot commits nothing") {
     val table = Files.createTempDirectory("graft_triples2").toString
     Materialize.run(spark, sfDir, table)
