@@ -41,24 +41,52 @@ object Dedup {
   }
 
   // ---- d02: LSH candidate pairs + verified word-3-gram Jaccard ------------
-  // Candidates: pairs sharing any band signature. Verification: exact Jaccard
-  // over distinct word 3-grams, as integer permille (1000*|∩| div |∪|) so the
-  // value is engine-exact. Output: top-100 most similar candidate pairs.
+  // Exact/BoW duplicates (d04's fingerprint) are COLLAPSED to one
+  // representative BEFORE banding: a 100-member duplicate cluster would
+  // otherwise flood its buckets past the mega-bucket guard and be silently
+  // dropped — exactly the cluster dedup exists to find. Group members pair
+  // with their canonical representative directly; LSH hunts near-dups among
+  // the representatives only. Dropped mega-buckets are surfaced as the
+  // oracle-checked d05 metric, not swallowed.
+  // Verification: exact Jaccard over distinct word 3-grams, as integer
+  // permille (1000*|∩| div |∪|) so the value is engine-exact. Output:
+  // top-100 most similar candidate pairs.
   private val shingle3 =
     "transform(sequence(1, size(split(text, ' ')) - 2), " +
       "i -> concat(element_at(split(text, ' '), i), ' ', " +
       "element_at(split(text, ' '), i + 1), ' ', element_at(split(text, ' '), i + 2)))"
 
+  private val bowFp =
+    "md5(array_join(array_sort(array_distinct(split(text, ' '))), ' '))"
+
+  /** Representatives (min doc_id per BoW fingerprint) of the ≥3-word docs. */
+  private def repsAndGroupPairs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, d)
+      .filter(size(split(col("text"), " ")) >= 3)
+    val groups = docs.selectExpr("doc_id", s"$bowFp AS fp")
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
+    val groupPairs = groups
+      .selectExpr("rep AS a", "explode(members) AS b")
+      .filter(col("a") < col("b"))
+    val reps = docs.join(groups.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+    (reps, groupPairs)
+  }
+
+  /** Per-representative band signatures (band k = minhash with seed k). */
+  private def bandSigs(reps: DataFrame): DataFrame =
+    reps.selectExpr(Seq("doc_id") ++ (0 until NSeeds).map(minhashExpr): _*)
+      .selectExpr("doc_id",
+        s"stack($NSeeds, ${(0 until NSeeds).map(k => s"$k, mh$k").mkString(", ")}) AS (band, sig)")
+
   def d02LshPairs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .filter(size(split(col("text"), " ")) >= 3)
-    // band signatures (band k = minhash with seed k)
-    val sigs = docs
-      .selectExpr(Seq("doc_id") ++ (0 until NSeeds).map(minhashExpr): _*)
-      .selectExpr("doc_id",
-        s"stack($NSeeds, ${(0 until NSeeds).map(k => s"$k, mh$k").mkString(", ")}) AS (band, sig)")
+    val (reps, groupPairs) = repsAndGroupPairs(s, d)
+    val sigs = bandSigs(reps)
     // Mega-bucket guard (standard at scale: a bucket holding most of the
     // corpus generates O(n²) candidates and means the band is useless).
+    // Dropped volume is reported by d05_lsh_bucket_stats.
     val bucketSizes = sigs.groupBy(col("band"), col("sig"))
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= 50)
@@ -68,6 +96,7 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .unionByName(groupPairs) // exact/BoW members ↔ canonical rep
       .distinct()
     // distinct word-3-gram sets
     val sh = docs.selectExpr("doc_id", s"explode(array_distinct($shingle3)) AS sh")
@@ -87,7 +116,8 @@ object Dedup {
       .limit(100)
   }
 
-  val d02Sql: String = {
+  // shared SQL prologue: docs, BoW groups, representatives, band signatures
+  private val lshPrologueSql: String = {
     val mins = (0 until NSeeds)
       .map(k => s"min(md5('s$k' || substr(text, i, 8))) AS mh$k").mkString(", ")
     val stack = (0 until NSeeds).map(k => s"SELECT doc_id, $k AS band, mh$k AS sig FROM sigs")
@@ -96,18 +126,32 @@ object Dedup {
        |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
        |  WHERE length(string_split(text, ' ')) >= 3),
        |series AS (SELECT i FROM generate_series(1, 2048) t(i)),
+       |grps AS (
+       |  SELECT md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp,
+       |    MIN(doc_id) AS rep, list(doc_id) AS members
+       |  FROM docs GROUP BY fp),
+       |reps AS (SELECT d.* FROM docs d JOIN grps g ON d.doc_id = g.rep),
        |sigs AS (
        |  SELECT doc_id, $mins
-       |  FROM docs JOIN series ON i <= greatest(length(text) - 7, 1)
+       |  FROM reps JOIN series ON i <= greatest(length(text) - 7, 1)
        |  GROUP BY doc_id),
-       |bands0 AS ($stack),
+       |bands0 AS ($stack)""".stripMargin
+  }
+
+  val d02Sql: String =
+    s"""$lshPrologueSql,
+       |grp_pairs AS (
+       |  SELECT rep AS a, unnest(members) AS b FROM grps),
        |keep AS (
        |  SELECT band, sig FROM bands0 GROUP BY band, sig HAVING COUNT(*) <= 50),
        |bands AS (SELECT bands0.* FROM bands0 JOIN keep USING (band, sig)),
        |cand AS (
-       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-       |  FROM bands x JOIN bands y
-       |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT x.doc_id AS a, y.doc_id AS b
+       |    FROM bands x JOIN bands y
+       |      ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+       |    UNION ALL
+       |    SELECT a, b FROM grp_pairs WHERE a < b) t),
        |sh AS (
        |  SELECT DISTINCT doc_id,
        |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
@@ -125,7 +169,31 @@ object Dedup {
        |JOIN (SELECT doc_id AS a, n_sh AS na FROM sizes) USING (a)
        |JOIN (SELECT doc_id AS b, n_sh AS nb FROM sizes) USING (b)
        |ORDER BY jaccard_e3 DESC, a, b LIMIT 100""".stripMargin
+
+  // ---- d05: LSH bucket stats — the mega-bucket guard made observable ------
+  // Per band: bucket count, mega buckets (>50 members, excluded from d02's
+  // candidate join) and the representative volume inside them. A silent cap
+  // is a lie at scale; this is the lineage metric for it.
+  def d05LshBucketStats(s: SparkSession, d: String): DataFrame = {
+    val (reps, _) = repsAndGroupPairs(s, d)
+    bandSigs(reps)
+      .groupBy(col("band"), col("sig")).agg(count(lit(1)).as("bsz"))
+      .groupBy(col("band")).agg(
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("bsz") > 50, 1L).otherwise(0L)).as("n_mega_buckets"),
+        sum(when(col("bsz") > 50, col("bsz")).otherwise(0L)).as("n_docs_dropped"))
+      .orderBy(col("band"))
   }
+
+  val d05Sql: String =
+    s"""$lshPrologueSql,
+       |buckets AS (
+       |  SELECT band, sig, COUNT(*) AS bsz FROM bands0 GROUP BY band, sig)
+       |SELECT band,
+       |  COUNT(*) AS n_buckets,
+       |  CAST(SUM(CASE WHEN bsz > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_mega_buckets,
+       |  CAST(SUM(CASE WHEN bsz > 50 THEN bsz ELSE 0 END) AS BIGINT) AS n_docs_dropped
+       |FROM buckets GROUP BY band ORDER BY band""".stripMargin
 
   // ---- d03: SimHash (16-bit) over the token multiset ----------------------
   // h16(token) = first 4 hex nibbles of md5; bit votes ±1; sign → bit.
@@ -187,11 +255,13 @@ object Dedup {
     "d01_minhash_signatures" -> (d01MinhashSignatures _),
     "d02_lsh_pairs" -> (d02LshPairs _),
     "d03_simhash" -> (d03Simhash _),
-    "d04_exact_dup_groups" -> (d04ExactDupGroups _))
+    "d04_exact_dup_groups" -> (d04ExactDupGroups _),
+    "d05_lsh_bucket_stats" -> (d05LshBucketStats _))
 
   val oracleSql: Map[String, String] = Map(
     "d01_minhash_signatures" -> d01Sql,
     "d02_lsh_pairs" -> d02Sql,
     "d03_simhash" -> d03Sql,
-    "d04_exact_dup_groups" -> d04Sql)
+    "d04_exact_dup_groups" -> d04Sql,
+    "d05_lsh_bucket_stats" -> d05Sql)
 }

@@ -1,0 +1,57 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** 100-member duplicate cluster + unrelated filler docs. Without the
+    * exact-fingerprint pre-collapse the cluster floods every LSH bucket past
+    * the 50-member mega-bucket guard and is silently dropped — the regression
+    * this spec pins.
+    */
+  test("a 100-member duplicate cluster still groups despite the mega-bucket guard") {
+    import spark.implicits._
+    val cluster = (0L until 100L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again and again tonight"))
+    val filler = (100L until 160L).map(i =>
+      (i, (0 until 10).map(j => s"tok${i}x$j").mkString(" "))) // no shared shingles
+    val dir = Files.createTempDirectory("graft_dedup").toString
+    (cluster ++ filler).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val pairs = Dedup.queries("d02_lsh_pairs")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every cluster member maps to the canonical representative (doc 0)
+    val clusterPairs = pairs.filter { case (a, _, _) => a == 0L }
+    assert(clusterPairs.length == 99)
+    assert(clusterPairs.forall { case (_, b, j) => b >= 1L && b < 100L && j == 1000L })
+
+    // the guard itself is observable: no mega bucket remains after collapse
+    val stats = Dedup.queries("d05_lsh_bucket_stats")(spark, dir).collect()
+    assert(stats.nonEmpty)
+    assert(stats.forall(_.getLong(2) == 0L)) // n_mega_buckets
+  }
+
+  test("pre-collapse keeps representatives' near-dup discovery intact") {
+    import spark.implicits._
+    // two near-identical (not equal) docs + noise: LSH must still pair them
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"))
+    val dir = Files.createTempDirectory("graft_dedup2").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.queries("d02_lsh_pairs")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.exists { case (a, b, j) => a == 1L && b == 2L && j > 500L })
+  }
+}
