@@ -97,6 +97,114 @@ class EmitSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"extra: ${extra.take(5)}")
   }
 
+  private def mkArticle(url: String): EnrichedArticle = EnrichedArticle(
+    url = url,
+    name = Some("City X"), headline = Some("About City X"),
+    datePublished = Some("2021-12-01T08:00:00Z"), dateModified = None,
+    wdUri = Some(Ns.WD + "Q205"),
+    locationFlag = true,
+    pageCoordinates = Seq(36.25, -3.5), ibCoordinates = Nil,
+    rawInfobox = "[ib]",
+    locLabel = Some("Location"), locValue = Some("Region 7"),
+    locLinkWkts = Seq(LocLinkWkt(42L, "way", "POINT(1.0 2.0)")),
+    falconEntityUris = Nil,
+    classes = Seq(ClassLabel("Q7", "instance class 7")),
+    parentLocUris = Nil,
+    osmElements = Seq(KOsmElement(62422L, "relation", "POINT(3.0 4.0)")),
+    timeRows = Nil, dateRows = Nil,
+    nTimeParseErrors = 0, nDateParseErrors = 0,
+    microDtstart = None, microDtend = None,
+    childUrls = Seq("https://en.wikipedia.org/wiki/Child_y"))
+
+  test("storeTopic golden shapes (outputRdf.py:564-612)") {
+    val url = "https://en.wikipedia.org/wiki/Storm_q"
+    val topicUri = Uris.articleTopicUri(url)
+    val parent = Emit.TopicInfo(7L, Uris.textTopicUri("parent topic"), None, Nil, Nil)
+    val t = KTopic("day:2022-01-05", 0L, d, 1, "Storm q", Some(url),
+      parentTopicIds = Seq(7L), sourceUrl = "src", raw = "[raw-t]")
+    val self = Emit.TopicInfo(0L, topicUri, Some(url), Nil, Seq(7L))
+    val got = Emit.topicTriples(t, self, Map(7L -> parent), Some(mkArticle(url))).toSet
+
+    def iri(s: String, p: String, o: String) = Triple("base", s, p, o, true, null, null, d)
+    def str(s: String, p: String, o: String) = Triple("base", s, p, o, false, Ns.xsdString, null, d)
+    val expected = Set(
+      iri(topicUri, Ns.rdfType, Ns.COY + "TextTopic"),
+      iri(topicUri, Ns.rdfType, Ns.COY + "WikiNews"),
+      iri(topicUri, Ns.rdfType, Ns.COY + "Event"),
+      str(topicUri, Ns.rdfsLabel, "Storm q"),
+      Triple("base", topicUri, Ns.COY + "hasMentionDate", "2022-01-05T00:00:00",
+        false, Ns.xsdDateTime, null, d),
+      Triple("raw", topicUri, Ns.COY + "hasRawHtml", "[raw-t]", false, Ns.xsdString, null, d),
+      iri(topicUri, Ns.COY + "isOccuringDuring", Uris.textTopicUri("parent topic")),
+      // article-linked topic: ArticleTopic type + article edge + place
+      iri(topicUri, Ns.rdfType, Ns.COY + "ArticleTopic"),
+      iri(topicUri, Ns.GN + "wikipediaArticle", Uris.articleUri(url)),
+      iri(topicUri, Ns.COY + "hasLocation", Uris.placeUri(url)))
+    assert((expected -- got).isEmpty, s"missing: ${(expected -- got).take(5)}")
+    assert((got -- expected).isEmpty, s"extra: ${(got -- expected).take(5)}")
+  }
+
+  test("article + place golden shapes (outputRdf.py:333-407, 175-192)") {
+    val url = "https://en.wikipedia.org/wiki/CityX"
+    val a = mkArticle(url)
+    val got = Emit.articleTriples(a, d, isTopic = false, forcePlace = false,
+      traverseChildren = true).toSet
+
+    val art = Uris.articleUri(url)
+    val place = Uris.placeUri(url)
+    val osm = Uris.osmUri("relation", 62422L)
+    val losm = Uris.osmUri("way", 42L)
+    val point = Ns.point + Uris.quotePlus("36.25_-3.5")
+    def iri(s: String, p: String, o: String) = Triple("base", s, p, o, true, null, null, d)
+    def str(s: String, p: String, o: String) = Triple("base", s, p, o, false, Ns.xsdString, null, d)
+    def oiri(s: String, p: String, o: String) = Triple("osm", s, p, o, true, null, null, d)
+    def olit(s: String, p: String, o: String, dt: String) = Triple("osm", s, p, o, false, dt, null, d)
+    val expected = Set(
+      iri(art, Ns.rdfType, Ns.GN + "WikipediaArticle"),
+      str(art, Ns.rdfsLabel, "City X"),
+      iri(url, Ns.rdfType, Ns.FOAF + "Document"),
+      iri(art, Ns.DCTERMS + "source", url),
+      Triple("raw", art, Ns.COY + "hasRawHtml", "[ib]", false, Ns.xsdString, null, d),
+      // place (locationFlag=true)
+      iri(place, Ns.rdfType, Ns.COY + "Location"),
+      str(place, Ns.rdfsLabel, "City X"),
+      str(place, Ns.COY + "isIdentifiedBy", "Region 7"),
+      iri(place, Ns.COY + "isLocatedIn", Uris.placeUri("https://en.wikipedia.org/wiki/Child_y")),
+      iri(place, Ns.GN + "wikipediaArticle", art),
+      iri(place, Ns.owlSameAs, Ns.WD + "Q205"),
+      // page coordinates → point node (outputRdf.py:139-152)
+      iri(place, Ns.GEO + "hasGeometry", point),
+      iri(point, Ns.rdfType, Ns.WGS + "Point"),
+      str(point, Ns.rdfsLabel, "36.25,-3.5"),
+      Triple("base", point, Ns.WGS + "lat", "36.25", false, Ns.xsdFloat, null, d),
+      Triple("base", point, Ns.WGS + "long", "-3.5", false, Ns.xsdFloat, null, d),
+      Triple("base", place, Ns.COY + "hasLatitude", "36.25", false, Ns.xsdDecimal, null, d),
+      Triple("base", place, Ns.COY + "hasLongitude", "-3.5", false, Ns.xsdDecimal, null, d),
+      // wd side: osm element on the wd entity + sameAs + ohg class label
+      oiri(Ns.WD + "Q205", Ns.COY + "hasOsmElement", osm),
+      oiri(osm, Ns.rdfType, Ns.COY + "OsmElement"),
+      olit(osm, Ns.rdfsLabel, "relation 62422", Ns.xsdString),
+      olit(osm, Ns.COY + "hasOsmType", "relation", Ns.xsdString),
+      olit(osm, Ns.COY + "hasOsmId", "62422", Ns.xsdInteger),
+      olit(osm, Ns.GEO + "asWKT", "POINT(3.0 4.0)", Ns.geoWktLiteral),
+      iri(art, Ns.owlSameAs, Ns.WD + "Q205"),
+      Triple("ohg", Ns.WD + "Q7", Ns.rdfsLabel, "instance class 7", false, Ns.xsdString, null, d),
+      // schema.org metadata
+      Triple("base", art, Ns.SCHEMA + "datePublished", "2021-12-01T08:00:00Z",
+        false, Ns.xsdDateTime, null, d),
+      str(art, Ns.SCHEMA + "name", "City X"),
+      str(art, Ns.SCHEMA + "headline", "About City X"),
+      // loc-row link WKT OSM element attached to the ARTICLE uri (outputRdf.py:397-400)
+      oiri(art, Ns.COY + "hasOsmElement", losm),
+      oiri(losm, Ns.rdfType, Ns.COY + "OsmElement"),
+      olit(losm, Ns.rdfsLabel, "way 42", Ns.xsdString),
+      olit(losm, Ns.COY + "hasOsmType", "way", Ns.xsdString),
+      olit(losm, Ns.COY + "hasOsmId", "42", Ns.xsdInteger),
+      olit(losm, Ns.GEO + "asWKT", "POINT(1.0 2.0)", Ns.geoWktLiteral))
+    assert((expected -- got).isEmpty, s"missing: ${(expected -- got).take(5)}")
+    assert((got -- expected).isEmpty, s"extra: ${(got -- expected).take(8)}")
+  }
+
   test("URI minting matches reference literal forms") {
     assert(Uris.eventUri("2022-01-05", 3) ==
       "https://data.coypu.org/newssummary/wikipedia-current-events/2022-01-05_3")
