@@ -7,6 +7,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // At bench-corpus scale AQE's per-stage materialization barriers
+      // dominate (measured 4-6x per query, BENCH/BASELINE.md) — static
+      // planning over cached inputs with accurate sizes is strictly better
+      // here. At real TB scale re-enable (one conf) for skew splitting.
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -78,17 +78,21 @@ object KgPipeline {
     val seed = during.groupBy(col("parent")).count()
       .orderBy(col("count").desc, col("parent")).limit(1).select(col("parent"))
     var reach = seed.withColumnRenamed("parent", "node").localCheckpoint(true)
-    var frontier = reach
-    var done = false
-    var it = 0
-    while (!done && it < 8) { // day-page nesting is bounded (≤4)
-      val next = during.join(frontier.withColumnRenamed("node", "parent"), Seq("parent"))
-        .select(col("child").as("node")).distinct()
-        .join(reach, Seq("node"), "left_anti")
-        .localCheckpoint(true)
-      if (next.isEmpty) done = true
-      else { reach = reach.union(next).localCheckpoint(true); frontier = next }
-      it += 1
+    // frontier loop under Aqe.without: tiny per-round frames, AQE barriers
+    // would dominate each round (graft.plans.Aqe)
+    graft.plans.Aqe.without(s) {
+      var frontier = reach
+      var done = false
+      var it = 0
+      while (!done && it < 8) { // day-page nesting is bounded (≤4)
+        val next = during.join(frontier.withColumnRenamed("node", "parent"), Seq("parent"))
+          .select(col("child").as("node")).distinct()
+          .join(reach, Seq("node"), "left_anti")
+          .localCheckpoint(true)
+        if (next.isEmpty) done = true
+        else { reach = reach.union(next).localCheckpoint(true); frontier = next }
+        it += 1
+      }
     }
     val eventDates = t.filter(col("pred") === Ns.COY + "hasMentionDate" &&
         col("subj").startsWith(Ns.events))

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: warm in-session timings of selected queries (the shared
+  * pipeline/edge caches are built first, so numbers isolate the query plans
+  * from the build — unlike the cold-JVM Bench).
+  * Usage: sbt 'runMain graft.QueryTimer kg05_event_map_wkts kg08_...'
+  */
+object QueryTimer {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "false")) // match Bench
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    KgPipeline.triples(spark, sfDir).count()
+    KgPipeline.edges(spark, sfDir).count()
+    if (args.headOption.contains("probe")) { probe(spark, sfDir); spark.stop(); return }
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    for (n <- names; fn <- SparkEntry.queries.get(n); r <- 1 to 2) {
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      println(f"[timer] $n run$r: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    spark.stop()
+  }
+
+  private def t[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    r
+  }
+
+  /** Sub-step timings for the iterative kg queries. */
+  def probe(spark: SparkSession, d: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.kg.Ns
+    val e = KgPipeline.edges(spark, d)
+    t("edge cache full scan")(e.count())
+    val sameAs = e.filter(col("pred") === Ns.owlSameAs).select(col("subj"), col("obj"))
+    println(s"[probe] sameAs rows: ${t("sameAs filter")(sameAs.count())}")
+    val sym = sameAs.select(col("subj").as("u"), col("obj").as("v"))
+      .union(sameAs.select(col("obj").as("u"), col("subj").as("v")))
+    t("sym count")(sym.count())
+    val symP = sym.persist()
+    t("sym persist mat")(symP.count())
+    val assign = symP.groupBy(col("u").as("node")).agg(min(col("v")).as("mv"))
+      .select(col("node"), least(col("node"), col("mv")).as("comp"))
+    t("init assign checkpoint")(assign.localCheckpoint(true))
+    val a2 = assign.localCheckpoint(true)
+    val viaNbr = symP.join(a2.withColumnRenamed("node", "v"), Seq("v"))
+      .groupBy(col("u").as("node")).agg(min(col("comp")).as("nbr_comp"))
+    val vn = t("viaNbr count")(viaNbr.count())
+    println(s"[probe] viaNbr rows: $vn")
+    val prop0 = a2.withColumnRenamed("comp", "prev")
+      .join(viaNbr, Seq("node"), "left")
+      .select(col("node"), col("prev"),
+        least(col("prev"), coalesce(col("nbr_comp"), col("prev"))).as("comp"))
+    t("prop count")(prop0.count())
+    val propC = t("prop checkpoint")(prop0.localCheckpoint(true))
+    t("jump from checkpointed prop") {
+      propC.as("x")
+        .join(propC.select(col("node").as("comp"), col("comp").as("jcomp")).as("y"),
+          Seq("comp"), "left")
+        .select(col("node"), col("prev"), coalesce(col("jcomp"), col("comp")).as("comp"))
+        .localCheckpoint(true)
+    }
+    t("round: viaNbr+prop+jump checkpoint (uncheckpointed prop, as in CC.run)") {
+      val prop = a2.withColumnRenamed("comp", "prev")
+        .join(viaNbr, Seq("node"), "left")
+        .select(col("node"), col("prev"),
+          least(col("prev"), coalesce(col("nbr_comp"), col("prev"))).as("comp"))
+      val jump = prop.as("x")
+        .join(prop.select(col("node").as("comp"), col("comp").as("jcomp")).as("y"),
+          Seq("comp"), "left")
+        .select(col("node"), col("prev"), coalesce(col("jcomp"), col("comp")).as("comp"))
+      jump.localCheckpoint(true)
+    }
+    symP.unpersist()
+    // kg04 probe
+    val during = e.filter(col("pred") === Ns.COY + "isOccuringDuring")
+      .select(col("subj").as("child"), col("obj").as("parent"))
+    println(s"[probe] during rows: ${t("during filter")(during.count())}")
+    val seed = during.groupBy(col("parent")).count()
+      .orderBy(col("count").desc, col("parent")).limit(1).select(col("parent"))
+    t("kg04 seed")(seed.collect())
+    val frontier = seed.withColumnRenamed("parent", "node").localCheckpoint(true)
+    t("kg04 one round: join+distinct+anti+checkpoint") {
+      during.join(frontier.withColumnRenamed("node", "parent"), Seq("parent"))
+        .select(col("child").as("node")).distinct()
+        .join(frontier, Seq("node"), "left_anti")
+        .localCheckpoint(true)
+    }
+  }
+}

@@ -22,7 +22,12 @@ object ConnectedComponents {
     *              with a total order (long/string).
     * @return (node, component) where component = min node id in the component.
     */
-  def run(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 30): DataFrame =
+    // per-round frames are tiny and re-planned every iteration: AQE's stage
+    // barriers would multiply the round latency 4-6x (graft.plans.Aqe)
+    graft.plans.Aqe.without(edges.sparkSession)(runLoop(edges, maxIter))
+
+  private def runLoop(edges: DataFrame, maxIter: Int): DataFrame = {
     val src = edges.columns(0)
     val dst = edges.columns(1)
     // the symmetrized edge list feeds every round — persist it once
