@@ -52,6 +52,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(pruned.schema.fieldNames.toSeq == Seq("doc_id", "spans"))
   }
 
+  test("span-sequence equality: the scanned table preserves (kind, text, media_ref, order) per row") {
+    val p = Synth.paramsFor("/root/testdata/sf0.001")
+    val scannedDays = Pipeline.dayDocs(spark, p).collect()
+      .map(d => d.doc_id -> d.spans).toMap
+    val expectedDays = Synth.allDaysOf(p)
+      .map { case (y, m, dd) => SpanCodec.dayDoc(p, Synth.day(p, m, dd, y)) }
+    assert(scannedDays.size == expectedDays.size)
+    for (e <- expectedDays) assert(scannedDays(e.doc_id) == e.spans)
+    val scannedArts = Pipeline.articleDocs(spark, p).collect()
+      .map(d => d.doc_id -> d.spans).toMap
+    assert(scannedArts.size == p.articles)
+    for (i <- 0 until p.articles) {
+      val e = SpanCodec.articleDoc(p, Synth.article(p, i))
+      assert(scannedArts(e.doc_id) == e.spans)
+    }
+  }
+
   test("dictionary enrichment runs as Catalyst broadcast hash joins") {
     val p = Synth.paramsFor("/root/testdata/sf0.001")
     val plan = Pipeline.enrichedArticles(spark, p)
