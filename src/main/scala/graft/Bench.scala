@@ -20,6 +20,10 @@ object Bench {
     // shared pipeline cache the kg_* queries reuse
     val p = graft.kg.Synth.paramsFor(sfDir)
     val docs = graft.kg.Synth.allDaysOf(p).size.toLong + p.articles
+    // JIT/codegen warmup at tiny scale so the measured pipeline run is not
+    // dominated by first-compile of the ~20 generated stages
+    graft.kg.Pipeline.triplesFor(spark,
+      graft.kg.Synth.Params(months = 1, articles = 60)).count()
     val t0k = System.nanoTime()
     KgPipeline.triples(spark, sfDir).count()
     val kgSecs = (System.nanoTime() - t0k) / 1e9
