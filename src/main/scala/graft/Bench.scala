@@ -22,8 +22,10 @@ object Bench {
     val docs = graft.kg.Synth.allDaysOf(p).size.toLong + p.articles
     // JIT/codegen warmup at tiny scale so the measured pipeline run is not
     // dominated by first-compile of the ~20 generated stages
-    graft.kg.Pipeline.triplesFor(spark,
-      graft.kg.Synth.Params(months = 1, articles = 60)).count()
+    val warm = graft.kg.Pipeline.trackedBuild(spark,
+      graft.kg.Synth.Params(months = 1, articles = 60))
+    warm.triples.count()
+    warm.releaseCaches()
     val t0k = System.nanoTime()
     KgPipeline.triples(spark, sfDir).count()
     val kgSecs = (System.nanoTime() - t0k) / 1e9
@@ -37,6 +39,9 @@ object Bench {
     val total = results.map(_._2).sum + kgSecs
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""kg_docs":$docs,"kg_pipeline_sec":$kgSecs,"kg_docs_per_sec":${docs / kgSecs},"sf":"$sfDir"}""")
+    // cache hygiene: no lingering MEMORY_AND_DISK blocks after the bench
+    KgPipeline.release()
+    graft.queries.Dedup.release()
     spark.stop()
   }
 }

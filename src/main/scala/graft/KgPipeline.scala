@@ -21,9 +21,33 @@ object KgPipeline {
   // query (kg02-kg08) needs the same distinct — run the shuffle ONCE, not per
   // query. Derived predicates of this cache are unique per (subj, obj).
   private val edgeCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  // kg10/kg12/kg13 all need the enriched-article frame and kg13 needs kg12's
+  // metrics table — cache both per sf dir so the enrichment dataflow runs
+  // once across the three queries instead of three times
+  private val enrichedCache = scala.collection.concurrent.TrieMap.empty[String, Dataset[EnrichedArticle]]
+  private val metricsCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   def triples(spark: SparkSession, sfDir: String): Dataset[Triple] =
     cache.getOrElseUpdate(sfDir, Pipeline.materializedTriples(spark, sfDir))
+
+  /** Enriched articles, cached per sf (one enrichment job for kg10/kg12). */
+  def enriched(spark: SparkSession, sfDir: String): Dataset[EnrichedArticle] =
+    enrichedCache.getOrElseUpdate(sfDir, {
+      val (e, stageCaches) = Pipeline.enrichedArticlesTracked(spark, Synth.paramsFor(sfDir))
+      val persisted = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persisted.count()
+      stageCaches.foreach(_.unpersist(blocking = false))
+      persisted
+    })
+
+  /** Drop every per-sf cached block (bench/verify hygiene). */
+  def release(): Unit = {
+    cache.values.foreach(_.unpersist(blocking = false))
+    edgeCache.values.foreach(_.unpersist(blocking = false))
+    enrichedCache.values.foreach(_.unpersist(blocking = false))
+    metricsCache.values.foreach(_.unpersist(blocking = false))
+    cache.clear(); edgeCache.clear(); enrichedCache.clear(); metricsCache.clear()
+  }
 
   /** Date-deduped edges, cached per sf. */
   def edges(spark: SparkSession, sfDir: String): DataFrame =
@@ -262,7 +286,7 @@ object KgPipeline {
       val intended = Synth.isLocationIntent(i.toInt)
       (a.url, intended, a.exists && !a.isNamespace)
     }.toDF("url", "labeled", "resolvable")
-    val predicted = Pipeline.enrichedArticles(s, p)
+    val predicted = enriched(s, d)
       .select(col("url"), col("locationFlag").as("predicted"))
     labeled.filter(col("resolvable"))
       .join(predicted, Seq("url"), "inner")
@@ -282,7 +306,16 @@ object KgPipeline {
   // enrichment flags and the parse-error counts the extractor logs at
   // articleExtractor.py:50-63). One day-side parse pass + one broadcast-
   // joined article pass, rolled up per month.
-  def kg12MonthlyMetrics(s: SparkSession, d: String): DataFrame = {
+  def kg12MonthlyMetrics(s: SparkSession, d: String): DataFrame =
+    metricsCache.getOrElseUpdate(d, {
+      val (raw, perDay) = kg12MonthlyMetricsUncached(s, d)
+      val m = raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      m.count() // kg13's window reads the cache, not a re-run of the dataflow
+      perDay.unpersist(blocking = false)
+      m
+    })
+
+  private def kg12MonthlyMetricsUncached(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val p = Synth.paramsFor(d)
     val perDay = Pipeline.dayDocs(s, p).map { doc =>
@@ -294,37 +327,60 @@ object KgPipeline {
         topics.flatMap(_.linkHref)
       (ym, events.size.toLong, topics.size.toLong,
         events.map(_.sentences.size.toLong).sum, refs.size.toLong,
-        events.count(_.refs.nonEmpty).toLong, hrefs)
+        events.count(_.refs.nonEmpty).toLong,
+        events.map(_.sentences.flatMap(_.links).size.toLong).sum,
+        topics.count(_.linkHref.isEmpty).toLong, hrefs)
     }.toDF("ym", "n_events", "n_topics", "n_sentences", "n_references",
-      "n_events_with_refs", "hrefs")
+      "n_events_with_refs", "n_event_links", "n_linkless_topics", "hrefs")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val monthly = perDay.groupBy(col("ym")).agg(
       count(lit(1)).as("n_days"),
       sum(col("n_events")).as("n_events"),
       sum(col("n_topics")).as("n_topics"),
       sum(col("n_sentences")).as("n_sentences"),
       sum(col("n_references")).as("n_references"),
-      sum(col("n_events_with_refs")).as("n_events_with_refs"))
+      sum(col("n_events_with_refs")).as("n_events_with_refs"),
+      sum(col("n_event_links")).as("n_event_links"),
+      sum(col("n_linkless_topics")).as("n_linkless_topics"))
     val reqs = perDay.select(col("ym"), explode(col("hrefs")).as("href"))
     val cacheStats = reqs.groupBy(col("ym")).agg(
       count(lit(1)).as("n_article_requests"),
       countDistinct(col("href")).as("article_cache_misses"))
       .withColumn("article_cache_hits",
         col("n_article_requests") - col("article_cache_misses"))
+    // per-article enrichment flags — the reference's analytics.py:120-184
+    // counter set (WKT/coords/osm/falcon/parent-loc/infobox-row analogues),
+    // one pass over the shared enriched-article cache
     val artStats = reqs.distinct()
-      .join(Pipeline.enrichedArticles(s, p), col("href") === col("url"))
+      .join(enriched(s, d), col("href") === col("url"))
       .groupBy(col("ym")).agg(
         count(lit(1)).as("n_articles_resolved"),
         sum(when(col("wdUri").isNotNull, 1L).otherwise(0L)).as("n_articles_with_wd"),
         sum(when(col("locationFlag"), 1L).otherwise(0L)).as("n_articles_with_loc_flag"),
         sum(when(size(col("osmElements")) > 0, 1L).otherwise(0L)).as("n_articles_with_osm"),
         sum(when(size(col("falconEntityUris")) > 0, 1L).otherwise(0L)).as("n_articles_with_falcon"),
+        sum(size(col("osmElements")).cast("long")).as("n_osm_elements"),
+        sum(size(col("falconEntityUris")).cast("long")).as("n_falcon_entities"),
+        sum(when(size(col("locLinkWkts")) > 0, 1L).otherwise(0L)).as("n_articles_with_wkt"),
+        sum(when(size(col("pageCoordinates")) > 0 || size(col("ibCoordinates")) > 0, 1L)
+          .otherwise(0L)).as("n_articles_with_coords"),
+        sum(when(col("locValue").isNotNull, 1L).otherwise(0L)).as("n_articles_with_loc_row"),
+        sum(when(size(col("parentLocUris")) > 0, 1L).otherwise(0L)).as("n_articles_with_parent_loc"),
+        sum(when(size(col("classes")) > 0, 1L).otherwise(0L)).as("n_articles_with_classes"),
+        sum(size(col("classes")).cast("long")).as("n_wd_classes"),
+        sum(when(size(col("childUrls")) > 0, 1L).otherwise(0L)).as("n_articles_with_children"),
+        sum(size(col("childUrls")).cast("long")).as("n_child_links"),
+        sum(when(col("microDtstart").isNotNull, 1L).otherwise(0L)).as("n_articles_with_microformat"),
+        sum(size(col("timeRows")).cast("long")).as("n_time_rows"),
+        sum(size(col("dateRows")).cast("long")).as("n_date_rows"),
         sum(col("nTimeParseErrors").cast("long")).as("n_time_parse_errors"),
         sum(col("nDateParseErrors").cast("long")).as("n_date_parse_errors"))
-    monthly
+    val out = monthly
       .join(cacheStats, Seq("ym"), "left")
       .join(artStats, Seq("ym"), "left")
       .na.fill(0L)
       .orderBy(col("ym"))
+    (out, perDay)
   }
 
   // Q9: the reference's cumulative cache-hit-ratio window over the monthly

@@ -41,6 +41,80 @@ object Exports {
     }
   }
 
+  // ---- Turtle (prefixed) ---------------------------------------------------
+  // The reference's {prefix}.ttl comes from rdflib's turtle serializer
+  // (jsonld2ttl.py:9-37): @prefix header for every namespace in use,
+  // prefixed names, `a` for rdf:type, one subject block with `;`-chained
+  // predicates and `,`-chained objects. Prefix labels follow the reference's
+  // namespace variable names (__init__.py:11-31).
+  private val prefixTable: Seq[(String, String)] = {
+    import graft.kg.Ns
+    Seq(
+      "coy" -> Ns.COY, "nif" -> Ns.NIF, "wgs" -> Ns.WGS, "geo" -> Ns.GEO,
+      "wd" -> Ns.WD, "wdt" -> "http://www.wikidata.org/prop/direct/",
+      "gn" -> Ns.GN, "schema" -> Ns.SCHEMA, "dcterms" -> Ns.DCTERMS,
+      "rdf" -> Ns.RDF_, "rdfs" -> Ns.RDFS, "owl" -> Ns.OWL,
+      "foaf" -> Ns.FOAF, "xsd" -> Ns.XSD,
+      "events" -> Ns.events, "articletopic" -> Ns.articleTopics,
+      "texttopic" -> Ns.textTopics, "context" -> Ns.contexts,
+      "sentence" -> Ns.sentences, "phrase" -> Ns.phrases,
+      "location" -> Ns.locations, "osmelement" -> Ns.osmElement,
+      "point" -> Ns.point, "timespan" -> Ns.timespan,
+      "wikipediaarticle" -> Ns.wikipediaArticle)
+      .sortBy(-_._2.length) // longest-namespace match wins
+  }
+
+  private val pnLocal = "^[A-Za-z0-9_]([A-Za-z0-9_.:-]*[A-Za-z0-9_:-])?$".r
+
+  /** Prefixed name if a namespace matches and the local part is PN_LOCAL-
+    * safe; angle-bracketed IRI otherwise. Returns (rendered, usedPrefix).
+    */
+  private def pname(iri: String): (String, Option[String]) =
+    prefixTable.collectFirst {
+      case (pfx, ns) if iri.startsWith(ns) &&
+          pnLocal.pattern.matcher(iri.stripPrefix(ns)).matches() =>
+        (s"$pfx:${iri.stripPrefix(ns)}", Some(pfx))
+    }.getOrElse((s"<$iri>", None))
+
+  private def turtleObj(t: Triple): (String, Seq[String]) =
+    if (t.obj_is_iri) { val (r, p) = pname(t.obj); (r, p.toSeq) }
+    else {
+      val lex = "\"" + escape(t.obj) + "\""
+      if (t.obj_lang != null) (s"$lex@${t.obj_lang}", Nil)
+      else if (t.obj_dtype != null) {
+        // rdflib omits ^^xsd:string (plain literal in Turtle)
+        if (t.obj_dtype == graft.kg.Ns.xsdString) (lex, Nil)
+        else { val (r, p) = pname(t.obj_dtype); (s"$lex^^$r", p.toSeq) }
+      } else (lex, Nil)
+    }
+
+  /** O2 merged export: prefixed Turtle document for a triple set (the
+    * driver-side byte assembly of saveMonthGraphs; rendering is pure so the
+    * golden test pins the convention). Subjects/predicates/objects sorted
+    * for deterministic bytes; `a` replaces rdf:type like rdflib.
+    */
+  def toTurtle(triples: Seq[Triple]): String = {
+    val used = scala.collection.mutable.SortedSet.empty[String]
+    val bySubj = triples.groupBy(_.subj).toSeq.sortBy(_._1)
+    val blocks = bySubj.map { case (subj, ts) =>
+      val (subjR, subjP) = pname(subj)
+      used ++= subjP
+      val predBlocks = ts.groupBy(_.pred).toSeq.sortBy(_._1).map { case (pred, pts) =>
+        val predR =
+          if (pred == graft.kg.Ns.rdfType) "a"
+          else { val (r, p) = pname(pred); used ++= p; r }
+        val objs = pts.map { t =>
+          val (r, ps) = turtleObj(t); used ++= ps; r
+        }.distinct.sorted
+        s"$predR " + objs.mkString(",\n        ")
+      }
+      s"$subjR " + predBlocks.mkString(" ;\n    ") + " ."
+    }
+    val header = prefixTable.filter(p => used.contains(p._1)).sortBy(_._1)
+      .map { case (pfx, ns) => s"@prefix $pfx: <$ns> ." }
+    header.mkString("", "\n", "\n\n") + blocks.mkString("\n\n") + "\n"
+  }
+
   /** JSON-LD node objects for one graph module: triples grouped by subject,
     * each predicate holding an array of `{"@id"}` / `{"@value", "@type",
     * "@language"}` objects — the flattened JSON-LD shape rdflib emits
@@ -99,9 +173,9 @@ object Exports {
       name
     }
     val ttlName = s"$prefix.ttl"
-    val lines = toNTriples(triples).distinct().collect().sorted
     Files.writeString(Paths.get(outDir, ttlName),
-      lines.mkString("", "\n", "\n"))
+      toTurtle(triples.dropDuplicates("subj", "pred", "obj", "obj_is_iri",
+        "obj_dtype", "obj_lang").collect().toSeq))
     written :+ ttlName
   }
 

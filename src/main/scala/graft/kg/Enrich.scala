@@ -211,23 +211,39 @@ object Enrich {
 
   /** Production path: J1-J7 as Catalyst joins against distributively-built
     * dictionary Datasets (SURVEY.md §2.4 `spark.read.parquet + broadcast()`
-    * shape). The dictionaries carry `broadcast()` hints here because at test
-    * scale they fit; at 10^12-doc scale the hint is removed per-dict and the
-    * planner falls back to a shuffle join — the one-hop join in Pipeline
-    * already demonstrates the salted-skew fallback for that regime.
+    * shape). Each dictionary join is broadcast while the dictionary fits the
+    * conf budget (`graft.dicts.broadcast.maxArticles`, same pattern as the
+    * one-hop join's gate) and falls back to a plain shuffle join beyond it —
+    * PipelineSpec forces both paths and asserts identical triples.
     *
     * Plan shape: one BroadcastHashJoin fills every wd-keyed field; the child
     * resolution is explode → two broadcast joins → one hash aggregation
     * keyed by article url, joined back (the only shuffles on this side).
+    *
+    * Returns the enriched Dataset plus the stage caches it holds (`pre` —
+    * the parsed+pre-enriched articles feed THREE consumers: the wd join, the
+    * falcon-child explode and the link-child explode; unpersisted, Catalyst
+    * re-parses the whole article corpus per consumer — the round-2 driver
+    * throughput regression). Callers release via Build.releaseCaches once
+    * the result is materialized.
     */
-  def enrichJoined(parsed: Dataset[ArticleRaw], p: Synth.Params)(
-      implicit spark: SparkSession): Dataset[EnrichedArticle] = {
+  def enrichJoinedTracked(parsed: Dataset[ArticleRaw], p: Synth.Params)(
+      implicit spark: SparkSession): (Dataset[EnrichedArticle], Seq[Dataset[_]]) = {
     import spark.implicits._
     val nArticles = p.articles
     val pre = parsed.map(a => preEnrichOne(a, Dicts.placeTemplates, nArticles))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // J1/J2/J3/J4/J6 in one broadcast hash join on the wd key
-    val bundles = broadcast(Dicts.wdBundles(spark, p))
+    // Broadcast gate: dictionaries are one row per wd entity / article, so
+    // the article-pool size is the size proxy. Oversize → no hint → the
+    // planner's shuffle join (PipelineSpec:dictShufflePath pins the fallback).
+    val bcastMax =
+      spark.conf.get("graft.dicts.broadcast.maxArticles", "1000000").toInt
+    def gate[T](ds: Dataset[T]): Dataset[T] =
+      if (p.articles <= bcastMax) broadcast(ds) else ds
+
+    // J1/J2/J3/J4/J6 in one hash join on the wd key
+    val bundles = gate(Dicts.wdBundles(spark, p))
     val withWd = pre.joinWith(bundles, pre("wdBare") === bundles("wd"), "left_outer")
     val assembled = withWd.map { case (pr, b) =>
       if (b == null) assemble(pr, Nil, Nil, Nil, Nil)
@@ -236,8 +252,8 @@ object Enrich {
 
     // J5 falcon entity → wp url (inner join = the negative cache), then the
     // location-flag membership join (flag must be true for falcon children)
-    val flags = broadcast(Dicts.artFlagsDs(spark, p).toDF())
-    val w2w = broadcast(Dicts.wd2wpDs(spark, p).toDF())
+    val flags = gate(Dicts.artFlagsDs(spark, p)).toDF()
+    val w2w = gate(Dicts.wd2wpDs(spark, p)).toDF()
     val falconKids = pre.flatMap(r => r.falconEntityUris.map(e => (r.url, bareWd(e))))
       .toDF("url", "cwd")
       .join(w2w, col("cwd") === col("wd_id"))
@@ -255,9 +271,14 @@ object Enrich {
       .select(col("url").as("_1"), col("children").as("_2"))
       .as[(String, Seq[String])]
 
-    assembled.joinWith(kids, assembled("url") === kids("_1"), "left_outer")
+    val out = assembled.joinWith(kids, assembled("url") === kids("_1"), "left_outer")
       .map { case (e, k) => if (k == null) e else e.copy(childUrls = k._2) }
+    (out, Seq(pre))
   }
+
+  def enrichJoined(parsed: Dataset[ArticleRaw], p: Synth.Params)(
+      implicit spark: SparkSession): Dataset[EnrichedArticle] =
+    enrichJoinedTracked(parsed, p)._1
 
   /** Build the sequential dictionary bundle (test oracle only). */
   def buildDicts(p: Synth.Params): DictMaps = {

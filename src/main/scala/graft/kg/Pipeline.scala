@@ -65,12 +65,19 @@ object Pipeline {
       }
   }
 
-  def enrichedArticles(spark: SparkSession, p: Synth.Params): Dataset[EnrichedArticle] = {
+  def enrichedArticles(spark: SparkSession, p: Synth.Params): Dataset[EnrichedArticle] =
+    enrichedArticlesTracked(spark, p)._1
+
+  /** Enriched articles plus the parse-stage cache the join graph holds
+    * (released by the caller once the result is materialized).
+    */
+  def enrichedArticlesTracked(spark: SparkSession, p: Synth.Params):
+      (Dataset[EnrichedArticle], Seq[Dataset[_]]) = {
     import spark.implicits._
     val articlesRaw = articleDocs(spark, p)
       .flatMap(ArticleParser.parse(_))
       .dropDuplicates("url") // J9: the reference's LRU memo, Spark-native
-    Enrich.enrichJoined(articlesRaw, p)(spark)
+    Enrich.enrichJoinedTracked(articlesRaw, p)(spark)
   }
 
   /** All article hrefs a doc needs resolved: event sentence links (phrase
@@ -151,9 +158,12 @@ object Pipeline {
       onlyDates: Option[Set[String]] = None): Build = {
     import spark.implicits._
 
+    // days feed two consumers (href explode + the doc join) — persist so the
+    // day-page corpus is parsed once, not twice
     val days = parsedDays(spark, p, onlyDates)
-    val articles = enrichedArticles(spark, p)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val (enriched, enrichCaches) = enrichedArticlesTracked(spark, p)
+    val articles = enriched.persist(StorageLevel.MEMORY_AND_DISK)
 
     // per-doc article resolution: one join, grouped back by doc_id
     val refs = days.flatMap(pd => docHrefs(pd).map(h => (pd.doc_id, h)))
@@ -242,6 +252,7 @@ object Pipeline {
       .agg(sum(col("time_errs")).cast("long").as("n_time_parse_errors"),
         sum(col("date_errs")).cast("long").as("n_date_parse_errors"))
 
-    Build(out, Seq(articles, docJoined, depth1, mentArts), errorsByDate)
+    Build(out, Seq(days, articles, docJoined, depth1, mentArts) ++ enrichCaches,
+      errorsByDate)
   }
 }

@@ -42,10 +42,39 @@ class ExportsSpec extends AnyFunSuite {
     val base = spark.read.option("multiLine", true)
       .json(s"$dir/January_2022_base.jsonld")
     assert(base.count() == 1 && base.select("`@id`").head().getString(0) == "http://s1")
-    // merged TTL covers every module's triples, one line each
-    val ttl = Files.readAllLines(java.nio.file.Paths.get(dir, "January_2022.ttl"))
-    assert(ttl.size() == 5)
-    assert(ttl.toArray.exists(_.toString.contains("\"hallo\"@de")))
+    // merged TTL covers every module's triples as prefixed Turtle — golden
+    // bytes (rdflib turtle conventions: @prefix header, sorted subjects,
+    // plain xsd:string literals, prefixed datatypes)
+    val ttl = Files.readString(java.nio.file.Paths.get(dir, "January_2022.ttl"))
+    val golden =
+      """@prefix geo: <http://www.opengis.net/ont/geosparql#> .
+        |
+        |<http://s1> <http://p> "text \"v\"",
+        |        <http://o> .
+        |
+        |<http://s2> <http://p> "<html>" .
+        |
+        |<http://s3> <http://p> "hallo"@de .
+        |
+        |<http://s4> <http://p> "POINT(1 1)"^^geo:wktLiteral .
+        |""".stripMargin
+    assert(ttl == golden)
+  }
+
+  test("Turtle golden: prefixed names, `a` for rdf:type, `;`/`,` chaining") {
+    val ts = Seq(
+      Triple("base", Ns.events + "e1", Ns.rdfType, Ns.COY + "NewsSummary", true, null, null, "2022-01-01"),
+      Triple("base", Ns.events + "e1", Ns.rdfType, Ns.COY + "Event", true, null, null, "2022-01-01"),
+      Triple("base", Ns.events + "e1", Ns.COY + "hasMentionDate", "2022-01-01", false, null, null, "2022-01-01"))
+    val golden =
+      """@prefix coy: <https://schema.coypu.org/global#> .
+        |@prefix events: <https://data.coypu.org/newssummary/wikipedia-current-events/> .
+        |
+        |events:e1 a coy:Event,
+        |        coy:NewsSummary ;
+        |    coy:hasMentionDate "2022-01-01" .
+        |""".stripMargin
+    assert(Exports.toTurtle(ts) == golden)
   }
 
   test("event debug NDJSON sink emits first located link per event") {

@@ -205,6 +205,98 @@ class EmitSpec extends AnyFunSuite {
     assert((got -- expected).isEmpty, s"extra: ${(got -- expected).take(8)}")
   }
 
+  test("timespan slot-fill golden triples: dtstart + date-row time merge (outputRdf.py:193-329)") {
+    import DateTimeParse._
+    // dtstart fills start first; the date row merges ONLY its time-of-day
+    // into it (has_time(start)=false, has_time(row)=true); start-only ⇒
+    // end := start (point in time). Label records dtstart + the merged row.
+    val url = "https://en.wikipedia.org/wiki/Storm_q"
+    val a = mkArticle(url).copy(
+      microDtstart = Some("2022-01-05"), microDtend = None,
+      dateRows = Seq(IbDateRow("Date", "5 January 2022 13:30",
+        Some(KDateTime(2022, 1, 5, 13, 30)), None, ongoing = false)),
+      timeRows = Nil)
+    val topicUri = Uris.articleTopicUri(url)
+    val self = Emit.TopicInfo(0L, topicUri, Some(url), Nil, Nil)
+    val t = KTopic("day:2022-01-05", 0L, d, 1, "Storm q", Some(url), Nil, "src", "[raw-t]")
+    val got = Emit.topicTriples(t, self, Map.empty, Some(a)).toSet
+      .filter(tr => tr.pred == Ns.COY + "hasTimespan" || tr.subj.startsWith(Ns.timespan))
+
+    val ts = Uris.timespanUri(Some("2022-01-05 13:30:00"), Some("2022-01-05 13:30:00"),
+      ongoing = false, None, None, None)
+    def iri(s: String, p: String, o: String) = Triple("base", s, p, o, true, null, null, d)
+    def lit(s: String, p: String, o: String, dt: String) = Triple("base", s, p, o, false, dt, null, d)
+    val expected = Set(
+      iri(topicUri, Ns.COY + "hasTimespan", ts),
+      iri(ts, Ns.rdfType, Ns.COY + "Timespan"),
+      lit(ts, Ns.rdfsLabel,
+        "dtstart: 2022-01-05 00:00:00\nDate: 5 January 2022 13:30\n", Ns.xsdString),
+      lit(ts, Ns.COY + "hasStartDate", "2022-01-05T13:30:00", Ns.xsdDateTime),
+      lit(ts, Ns.COY + "hasEndDate", "2022-01-05T13:30:00", Ns.xsdDateTime))
+    assert(got == expected,
+      s"missing: ${(expected -- got).take(5)}; extra: ${(got -- expected).take(5)}")
+  }
+
+  test("timespan slot-fill golden triples: ongoing + time row with tz") {
+    import DateTimeParse._
+    // date row sets start + ongoing; the time row then fills start's
+    // time-of-day AND mints an end from start's date (end wins over the
+    // ongoing flag in emission: hasEndDate, no hasOngoingSpan); its tz
+    // propagates to both slots AFTER the fold (outputRdf.py:306-311).
+    val url = "https://en.wikipedia.org/wiki/Storm_q"
+    val a = mkArticle(url).copy(
+      microDtstart = None, microDtend = None,
+      dateRows = Seq(IbDateRow("Date", "17 January 2022 - present",
+        Some(KDateTime(2022, 1, 17)), None, ongoing = true)),
+      timeRows = Seq(IbTimeRow("Time", "14:29 - 14:50 (UTC+4:00)",
+        KTime(14, 29, Some(240)), Some(KTime(14, 50, Some(240))))))
+    val topicUri = Uris.articleTopicUri(url)
+    val self = Emit.TopicInfo(0L, topicUri, Some(url), Nil, Nil)
+    val t = KTopic("day:2022-01-05", 0L, d, 1, "Storm q", Some(url), Nil, "src", "[raw-t]")
+    val got = Emit.topicTriples(t, self, Map.empty, Some(a)).toSet
+      .filter(tr => tr.pred == Ns.COY + "hasTimespan" || tr.subj.startsWith(Ns.timespan))
+
+    val ts = Uris.timespanUri(Some("2022-01-17 14:29:00+04:00"),
+      Some("2022-01-17 14:50:00+04:00"), ongoing = true, None, None, Some("UTC+04:00"))
+    def iri(s: String, p: String, o: String) = Triple("base", s, p, o, true, null, null, d)
+    def lit(s: String, p: String, o: String, dt: String) = Triple("base", s, p, o, false, dt, null, d)
+    val expected = Set(
+      iri(topicUri, Ns.COY + "hasTimespan", ts),
+      iri(ts, Ns.rdfType, Ns.COY + "Timespan"),
+      lit(ts, Ns.rdfsLabel,
+        "Date: 17 January 2022 - present\nTime: 14:29 - 14:50 (UTC+4:00)\n", Ns.xsdString),
+      lit(ts, Ns.COY + "hasStartDate", "2022-01-17T14:29:00+04:00", Ns.xsdDateTime),
+      lit(ts, Ns.COY + "hasEndDate", "2022-01-17T14:50:00+04:00", Ns.xsdDateTime))
+    assert(got == expected,
+      s"missing: ${(expected -- got).take(5)}; extra: ${(got -- expected).take(5)}")
+  }
+
+  test("timespan slot-fill golden triples: no dates — standalone time slots") {
+    import DateTimeParse._
+    // no date slots at all: times land in the standalone start/end time
+    // slots as xsd:time triples; ongoing never set ⇒ no date triples.
+    val url = "https://en.wikipedia.org/wiki/Storm_q"
+    val a = mkArticle(url).copy(
+      microDtstart = None, microDtend = None, dateRows = Nil,
+      timeRows = Seq(IbTimeRow("Time", "13:05", KTime(13, 5, None), None)))
+    val topicUri = Uris.articleTopicUri(url)
+    val self = Emit.TopicInfo(0L, topicUri, Some(url), Nil, Nil)
+    val t = KTopic("day:2022-01-05", 0L, d, 1, "Storm q", Some(url), Nil, "src", "[raw-t]")
+    val got = Emit.topicTriples(t, self, Map.empty, Some(a)).toSet
+      .filter(tr => tr.pred == Ns.COY + "hasTimespan" || tr.subj.startsWith(Ns.timespan))
+
+    val ts = Uris.timespanUri(None, None, ongoing = false, Some("13:05:00"), None, None)
+    def iri(s: String, p: String, o: String) = Triple("base", s, p, o, true, null, null, d)
+    def lit(s: String, p: String, o: String, dt: String) = Triple("base", s, p, o, false, dt, null, d)
+    val expected = Set(
+      iri(topicUri, Ns.COY + "hasTimespan", ts),
+      iri(ts, Ns.rdfType, Ns.COY + "Timespan"),
+      lit(ts, Ns.rdfsLabel, "Time: 13:05\n", Ns.xsdString),
+      lit(ts, Ns.COY + "hasStartTimestamp", "13:05:00", Ns.xsdTime))
+    assert(got == expected,
+      s"missing: ${(expected -- got).take(5)}; extra: ${(got -- expected).take(5)}")
+  }
+
   test("URI minting matches reference literal forms") {
     assert(Uris.eventUri("2022-01-05", 3) ==
       "https://data.coypu.org/newssummary/wikipedia-current-events/2022-01-05_3")

@@ -92,9 +92,135 @@ class KgQueriesSpec extends AnyFunSuite {
     assert(checkedArticle > 0 && checkedText > 0)
   }
 
+  test("kg02/kg03 per-year counts match the sequential oracle") {
+    val es = edgeSet
+    // kg02: distinct events with a mention date, per year
+    val evPairs = es.collect {
+      case (s, p, o) if p == Ns.COY + "hasMentionDate" && s.startsWith(Ns.events) =>
+        (s, o.take(4))
+    }
+    val expEv = evPairs.groupBy(_._2).view.mapValues(_.map(_._1).size.toLong).toMap
+    val gotEv = KgPipeline.kg02EventsPerYear(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotEv == expEv)
+    assert(gotEv.nonEmpty)
+    // kg03: distinct (TextTopic, year) mention pairs, per year
+    val topicUris = es.collect {
+      case (s, p, o) if p == Ns.rdfType && o == Ns.COY + "TextTopic" => s
+    }
+    val topicPairs = es.collect {
+      case (s, p, o) if p == Ns.COY + "hasMentionDate" && topicUris.contains(s) =>
+        (s, o.take(4))
+    }
+    val expTop = topicPairs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val gotTop = KgPipeline.kg03TopicsPerYear(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotTop == expTop)
+    assert(gotTop.nonEmpty)
+  }
+
+  test("kg04 closure matches a sequential BFS from the same seed") {
+    val es = edgeSet
+    val during = es.collect {
+      case (s, p, o) if p == Ns.COY + "isOccuringDuring" => (s, o) // (child, parent)
+    }
+    // seed: most-referenced parent, ties to the lexicographically smallest
+    val refCounts = during.groupBy(_._2).view.mapValues(_.size).toMap
+    val maxN = refCounts.values.max
+    val seedNode = refCounts.collect { case (par, n) if n == maxN => par }.min
+    // BFS down the child edges
+    val childrenOf = during.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    var reach = Set(seedNode)
+    var frontier = Set(seedNode)
+    while (frontier.nonEmpty) {
+      val next = frontier.flatMap(p => childrenOf.getOrElse(p, Set.empty)) -- reach
+      reach ++= next
+      frontier = next
+    }
+    // one row per distinct (event, pred, dateObj) triple → ym
+    val exp = es.toSeq.collect {
+      case (s, p, o) if p == Ns.COY + "hasMentionDate" && s.startsWith(Ns.events) &&
+        reach.contains(s) => o.take(7)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = KgPipeline.kg04ClosureEventsPerMonth(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exp)
+    assert(got.nonEmpty)
+  }
+
+  test("kg05 WKT join chain matches the sequential comprehension") {
+    val es = edgeSet
+    def pairs(pred: String): Set[(String, String)] =
+      es.collect { case (s, p, o) if p == pred => (s, o) }
+    val evCtx = pairs(Ns.COY + "isIdentifiedBy")
+    val sub = pairs(Ns.NIF + "subString")
+    val ctxSent = sub.filter(_._2.startsWith(Ns.sentences))
+    val sentPhrase = sub.filter(_._2.startsWith(Ns.phrases))
+    val phraseArt = pairs(Ns.GN + "wikipediaArticle").filter(_._1.startsWith(Ns.phrases))
+    val sameAs = pairs(Ns.owlSameAs).filter(_._1.startsWith(Ns.wikipediaArticle))
+    val hasOsm = pairs(Ns.COY + "hasOsmElement")
+    val wkt = pairs(Ns.GEO + "asWKT").groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val dates = pairs(Ns.COY + "hasMentionDate").filter(_._1.startsWith(Ns.events))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val artOsm: Set[(String, String)] =
+      (for ((art, wd) <- sameAs; (holder, osm) <- hasOsm if holder == wd) yield (art, osm)) ++
+        hasOsm.filter(_._1.startsWith(Ns.wikipediaArticle))
+    val exp = for {
+      (event, ctx) <- evCtx
+      (c, sent) <- ctxSent if c == ctx
+      (se, phrase) <- sentPhrase if se == sent
+      (ph, article) <- phraseArt if ph == phrase
+      (a, osm) <- artOsm if a == article
+      w <- wkt.getOrElse(osm, Set.empty)
+      date <- dates.getOrElse(event, Set.empty)
+    } yield (date, event, article, w)
+    val got = KgPipeline.kg05EventMapWkts(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(got == exp)
+    assert(got.nonEmpty)
+  }
+
+  test("kg08 canonical clusters match sequential union-find (min canonical)") {
+    val es = edgeSet
+    val sameAs = es.collect { case (s, p, o) if p == Ns.owlSameAs => (s, o) }
+    // union-find over the undirected sameAs graph
+    val parent = scala.collection.mutable.Map.empty[String, String]
+    def find(x: String): String = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: String, b: String): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    sameAs.foreach { case (a, b) => union(a, b) }
+    val nodes = sameAs.flatMap { case (a, b) => Seq(a, b) }
+    val exp = nodes.groupBy(find).flatMap { case (_, members) =>
+      val canon = members.min
+      members.map(_ -> canon)
+    }
+    val got = KgPipeline.kg08CanonicalClusters(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == exp)
+    assert(got.values.toSet.size > 1) // multiple components exercised
+  }
+
+  test("kg09 partition metrics match the oracle triple set") {
+    val exp = oracle.groupBy(t => (t.event_date, t.graph_module)).map { case (k, ts) =>
+      k -> ((ts.size.toLong, ts.map(_.subj).size.toLong,
+        ts.count(_.obj_is_iri).toLong))
+    }
+    val got = KgPipeline.kg09PartitionMetrics(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == exp)
+    assert(got.size > 4)
+  }
+
   test("kg12/kg13 cache counters match a sequential parse of the day pages") {
     // sequential expectation: every event-sentence/topic link is a request
     val perMonth = scala.collection.mutable.Map.empty[String, Seq[String]]
+    val linksPerMonth = scala.collection.mutable.Map.empty[String, Long]
     var nEvents = 0L
     for ((y, m, dd) <- Synth.allDaysOf(p)) {
       val doc = SpanCodec.dayDoc(p, Synth.day(p, m, dd, y))
@@ -104,6 +230,8 @@ class KgQueriesSpec extends AnyFunSuite {
       val hrefs = events.flatMap(_.sentences.flatMap(_.links).map(_.href)) ++
         topics.flatMap(_.linkHref)
       perMonth(ym) = perMonth.getOrElse(ym, Nil) ++ hrefs
+      linksPerMonth(ym) = linksPerMonth.getOrElse(ym, 0L) +
+        events.map(_.sentences.flatMap(_.links).size.toLong).sum
     }
     val m = KgPipeline.kg12MonthlyMetrics(spark, sfDir).collect()
       .map(r => r.getString(r.fieldIndex("ym")) -> r).toMap
@@ -115,7 +243,13 @@ class KgQueriesSpec extends AnyFunSuite {
       assert(g("n_article_requests") == hrefs.size)
       assert(g("article_cache_misses") == hrefs.distinct.size)
       assert(g("article_cache_hits") == hrefs.size - hrefs.distinct.size)
-      assert(row.schema.fieldNames.length >= 14) // >=13 counters + ym
+      assert(g("n_event_links") == linksPerMonth(ym))
+      assert(row.schema.fieldNames.length >= 21) // >=20 counters + ym
+      // per-article flag counters are internally consistent
+      assert(g("n_articles_with_wd") <= g("n_articles_resolved"))
+      assert(g("n_articles_with_classes") <= g("n_articles_with_wd"))
+      assert(g("n_wd_classes") >= g("n_articles_with_classes"))
+      assert(g("n_child_links") >= g("n_articles_with_children"))
     }
     // window: final cumulative ratio equals the all-months total ratio
     val w = KgPipeline.kg13HitRatioWindow(spark, sfDir).collect()

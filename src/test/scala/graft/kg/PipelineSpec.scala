@@ -77,6 +77,30 @@ class PipelineSpec extends AnyFunSuite {
       s"expected BroadcastHashJoin in enrich plan:\n${plan.take(4000)}")
   }
 
+  test("oversize-dictionary shuffle join path emits the same triple set") {
+    val sfDir = "/root/testdata/sf0.001"
+    val p = Synth.paramsFor(sfDir)
+    val broadcastPath = Pipeline.triples(spark, sfDir).collect().toSet
+    spark.conf.set("graft.dicts.broadcast.maxArticles", "0") // dicts "oversize"
+    // pin the static planner so neither the auto-broadcast threshold nor AQE
+    // re-introduces a broadcast behind the gate's back for the plan assert
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // the gate really removed the hints: no broadcast join over the dicts
+      val plan = Pipeline.enrichedArticles(spark, p)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"dict broadcast hint not gated off:\n${plan.take(4000)}")
+      val shufflePath = Pipeline.triples(spark, sfDir).collect().toSet
+      assert(shufflePath == broadcastPath)
+    } finally {
+      spark.conf.unset("graft.dicts.broadcast.maxArticles")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("salted one-hop shuffle join path emits the same triple set") {
     val sfDir = "/root/testdata/sf0.001"
     val broadcastPath = Pipeline.triples(spark, sfDir).collect().toSet
