@@ -13,6 +13,9 @@ object Bench {
       // here. At real TB scale re-enable (one conf) for skew splitting.
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+      // fixed-point loops (CC, frontier closures) run tiny per-round frames;
+      // pin a narrow shuffle width inside them (plans.Aqe.without applies it)
+      .config("graft.loop.shufflePartitions", "8")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -10,14 +10,40 @@ import org.apache.spark.sql.SparkSession
   * loop it is pure latency. Standard practice for GraphFrames-style jobs.
   */
 object Aqe {
+  // Session conf is shared mutable state: two overlapping without-blocks
+  // would corrupt each other's save/restore (A restores mid-B, B's loop
+  // runs AQE-on, B "restores" A's off). Serialize the windows per process.
+  // Residual (documented): unrelated queries submitted on the same session
+  // DURING a window plan without AQE — a perf-only effect; use a dedicated
+  // session per concurrent stream if that matters.
+  private val lock = new java.util.concurrent.locks.ReentrantLock()
+
   def without[A](spark: SparkSession)(f: => A): A = {
     val k = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.getOption(k)
-    spark.conf.set(k, "false")
-    try f
-    finally prev match {
-      case Some(v) => spark.conf.set(k, v)
-      case None => spark.conf.unset(k)
-    }
+    // opt-in loop fan-out: per-round frontier frames are tiny, so a session
+    // may pin a smaller shuffle width inside fixed-point loops
+    // (graft.loop.shufflePartitions; the bench session sets 8). Unset by
+    // default — at cluster scale per-round frames can be large and the
+    // session-wide width (or AQE coalescing) is the right answer.
+    val kp = "spark.sql.shuffle.partitions"
+    lock.lock()
+    try {
+      val prev = spark.conf.getOption(k)
+      val loopParts = spark.conf.getOption("graft.loop.shufflePartitions")
+      val prevParts = spark.conf.getOption(kp)
+      spark.conf.set(k, "false")
+      loopParts.foreach(spark.conf.set(kp, _))
+      try f
+      finally {
+        prev match {
+          case Some(v) => spark.conf.set(k, v)
+          case None => spark.conf.unset(k)
+        }
+        if (loopParts.isDefined) prevParts match {
+          case Some(v) => spark.conf.set(kp, v)
+          case None => spark.conf.unset(kp)
+        }
+      }
+    } finally lock.unlock()
   }
 }
