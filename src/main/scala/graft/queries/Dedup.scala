@@ -228,6 +228,113 @@ object Dedup {
        |  CAST(SUM(CASE WHEN bsz > 50 THEN bsz ELSE 0 END) AS BIGINT) AS n_docs_dropped
        |FROM buckets GROUP BY band ORDER BY band""".stripMargin
 
+  // ---- d06: embedding-cosine near-dup -------------------------------------
+  // Hashing-trick embeddings: 64-dim token-count vectors (md5 bucket per
+  // token). Components are integers, so dot products and norms are
+  // BIGINT-exact and the cosine reduces to ONE deterministic double
+  // expression — identical in both engines, hence oracle-exact. Candidates
+  // come from 2 bands × 4 signed-hyperplane projections; the projections are
+  // integer sums, so the sign test has no FP ambiguity. Pairs are verified
+  // exactly and kept at cosine ≥ 0.95. The same plan over learned float
+  // embeddings is s02's bucketing (the synthetic embeddings table has no
+  // near-dup pairs to find — max pairwise cosine 0.51 — so documents is the
+  // demonstrative input).
+  // Scale notes: feat is explode → hash-partitioned reduce, O(tokens); the
+  // pair join is banded on (band, bucket), never all-pairs; the plane count
+  // grows with log(corpus) to keep buckets bounded; the verification join
+  // touches candidate pairs only (sparse dims, dot via join on shared j).
+  private val NEmbBands = 2
+  private val NEmbPlanes = 4 // per band → 16 buckets/band at toy scale
+  private val EmbDim = 64
+  private val NearDupE6 = 950000L
+
+  def d06EmbeddingNeardup(s: SparkSession, d: String): DataFrame = {
+    val nib = (i: Int) => s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    // sparse (doc_id, dim, count); feeds the projections AND both sides of
+    // the verification join — checkpoint so the token explode runs once
+    val feat = Tables.documents(s, d)
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS tok")
+      .selectExpr("doc_id", "substr(md5(tok), 1, 2) AS h")
+      .selectExpr("doc_id", s"(${nib(1)} * 16 + ${nib(2)}) % $EmbDim AS j")
+      .groupBy(col("doc_id"), col("j"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val norms = feat.groupBy(col("doc_id")).agg(sum(col("c") * col("c")).as("n2"))
+    val planes = s.range(NEmbBands * NEmbPlanes * EmbDim)
+      .selectExpr(s"CAST(id DIV ${NEmbPlanes * EmbDim} AS INT) AS band",
+        s"CAST((id DIV $EmbDim) % $NEmbPlanes AS INT) AS p",
+        s"CAST(id % $EmbDim AS INT) AS j")
+      .selectExpr("band", "p", "j",
+        "CASE WHEN (instr('0123456789abcdef', " +
+          "substr(md5(concat('eb', band, '_', p, '_', j)), 1, 1)) - 1) % 2 = 0 " +
+          "THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS sgn")
+    val bkt = feat.join(broadcast(planes), Seq("j"))
+      .groupBy(col("doc_id"), col("band"), col("p"))
+      .agg(sum(col("sgn") * col("c")).as("proj"))
+      .selectExpr("doc_id", "band",
+        "CASE WHEN proj > 0 THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END AS bit")
+      .groupBy(col("doc_id"), col("band"))
+      .agg(sum(col("bit")).as("bucket"))
+    val cand = bkt.as("x").join(bkt.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val dots = cand
+      .join(feat.as("fa"), col("a") === col("fa.doc_id"))
+      .join(feat.as("fb"), col("b") === col("fb.doc_id") && col("fa.j") === col("fb.j"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("fa.c") * col("fb.c")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("a"), col("n2").as("n2a")), Seq("a"))
+      .join(norms.select(col("doc_id").as("b"), col("n2").as("n2b")), Seq("b"))
+      .selectExpr("a", "b",
+        "CAST(floor(1e6 * dot / (sqrt(n2a) * sqrt(n2b))) AS BIGINT) AS sim_e6")
+      .filter(col("sim_e6") >= NearDupE6)
+      .orderBy(col("sim_e6").desc, col("a"), col("b"))
+  }
+
+  val d06Sql: String = {
+    val nib = (i: Int) => s"(instr('0123456789abcdef', substr(md5(tok), $i, 1)) - 1)"
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |feat AS (
+       |  SELECT doc_id, (${nib(1)} * 16 + ${nib(2)}) % $EmbDim AS j,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM toks GROUP BY doc_id, j),
+       |norms AS (SELECT doc_id, CAST(SUM(c * c) AS BIGINT) AS n2 FROM feat GROUP BY doc_id),
+       |planes AS (
+       |  SELECT band, p, j,
+       |    CASE WHEN (instr('0123456789abcdef',
+       |        substr(md5('eb' || band || '_' || p || '_' || j), 1, 1)) - 1) % 2 = 0
+       |      THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS sgn
+       |  FROM generate_series(0, ${NEmbBands - 1}) tb(band),
+       |       generate_series(0, ${NEmbPlanes - 1}) tp(p),
+       |       generate_series(0, ${EmbDim - 1}) tj(j)),
+       |bkt AS (
+       |  SELECT doc_id, band,
+       |    CAST(SUM(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM (
+       |    SELECT f.doc_id, pl.band, pl.p, SUM(pl.sgn * f.c) AS proj
+       |    FROM feat f JOIN planes pl ON f.j = pl.j
+       |    GROUP BY f.doc_id, pl.band, pl.p) t
+       |  GROUP BY doc_id, band),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bkt x JOIN bkt y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       |dots AS (
+       |  SELECT a, b, CAST(SUM(fa.c * fb.c) AS BIGINT) AS dot
+       |  FROM cand JOIN feat fa ON a = fa.doc_id
+       |  JOIN feat fb ON b = fb.doc_id AND fa.j = fb.j
+       |  GROUP BY a, b)
+       |SELECT a, b,
+       |  CAST(floor(1e6 * dot / (sqrt(na.n2) * sqrt(nb.n2))) AS BIGINT) AS sim_e6
+       |FROM dots JOIN norms na ON na.doc_id = a JOIN norms nb ON nb.doc_id = b
+       |WHERE floor(1e6 * dot / (sqrt(na.n2) * sqrt(nb.n2))) >= $NearDupE6
+       |ORDER BY sim_e6 DESC, a, b""".stripMargin
+  }
+
   // ---- d03: SimHash (16-bit) over the token multiset ----------------------
   // h16(token) = first 4 hex nibbles of md5; bit votes ±1; sign → bit.
   def d03Simhash(s: SparkSession, d: String): DataFrame = {
@@ -289,12 +396,14 @@ object Dedup {
     "d02_lsh_pairs" -> (d02LshPairs _),
     "d03_simhash" -> (d03Simhash _),
     "d04_exact_dup_groups" -> (d04ExactDupGroups _),
-    "d05_lsh_bucket_stats" -> (d05LshBucketStats _))
+    "d05_lsh_bucket_stats" -> (d05LshBucketStats _),
+    "d06_embedding_neardup" -> (d06EmbeddingNeardup _))
 
   val oracleSql: Map[String, String] = Map(
     "d01_minhash_signatures" -> d01Sql,
     "d02_lsh_pairs" -> d02Sql,
     "d03_simhash" -> d03Sql,
     "d04_exact_dup_groups" -> d04Sql,
-    "d05_lsh_bucket_stats" -> d05Sql)
+    "d05_lsh_bucket_stats" -> d05Sql,
+    "d06_embedding_neardup" -> d06Sql)
 }

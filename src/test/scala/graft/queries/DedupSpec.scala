@@ -54,4 +54,24 @@ class DedupSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(pairs.exists { case (a, b, j) => a == 1L && b == 2L && j > 500L })
   }
+
+  test("embedding-cosine near-dup pairs high-overlap docs and excludes disjoint ones") {
+    import spark.implicits._
+    val base = (0 until 30).map(j => s"word$j").mkString(" ")
+    val docs = Seq(
+      (1L, base), // exact dup of 2 → cosine 1.0
+      (2L, base),
+      (3L, base + " extraone"), // near dup: 30 of 31 tokens shared
+      (4L, (100 until 130).map(j => s"other$j").mkString(" "))) // disjoint
+    val dir = Files.createTempDirectory("graft_dedup3").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.queries("d06_embedding_neardup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // identical vectors: cosine exactly 1.0 up to one sqrt rounding
+    val exact = got.filter { case (a, b, _) => a == 1L && b == 2L }
+    assert(exact.length == 1 && exact.head._3 >= 999998L)
+    // near dup crosses the 0.95 gate; the disjoint doc never appears
+    assert(got.exists { case (a, b, s) => a <= 2L && b == 3L && s >= 950000L })
+    assert(!got.exists { case (a, b, _) => a == 4L || b == 4L })
+  }
 }
