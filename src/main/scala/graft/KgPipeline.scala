@@ -375,9 +375,32 @@ object KgPipeline {
         sum(size(col("dateRows")).cast("long")).as("n_date_rows"),
         sum(col("nTimeParseErrors").cast("long")).as("n_time_parse_errors"),
         sum(col("nDateParseErrors").cast("long")).as("n_date_parse_errors"))
+    // topic/timespan/event-type counters from the reference's analytics set
+    // (analytics.py:135-152 numTopicsWith*/numEventsWithType analogues),
+    // derived from the materialized KG: "subject gained such a triple this
+    // month" is exactly what the reference increments at construction time.
+    // One scan over the shared triple cache, predicate-pruned.
+    val C = Ns.COY
+    val preds = Seq(
+      "hasTimespan" -> "n_topics_with_timespan",
+      "hasLocation" -> "n_topics_with_location",
+      "hasStartDate" -> "n_timespans_with_start_date",
+      "hasEndDate" -> "n_timespans_with_end_date",
+      "hasOngoingSpan" -> "n_timespans_ongoing",
+      "hasStartTimestamp" -> "n_timespans_with_start_time",
+      "hasEndTimestamp" -> "n_timespans_with_end_time",
+      "hasWikidataEventType" -> "n_events_with_wd_type")
+    val kgAggs = preds.map { case (p, name) =>
+      countDistinct(when(col("pred") === lit(C + p), col("subj"))).as(name)
+    }
+    val kgStats = triples(s, d)
+      .filter(col("pred").isin(preds.map(C + _._1): _*))
+      .groupBy(expr("substr(event_date, 1, 7)").as("ym"))
+      .agg(kgAggs.head, kgAggs.tail: _*)
     val out = monthly
       .join(cacheStats, Seq("ym"), "left")
       .join(artStats, Seq("ym"), "left")
+      .join(kgStats, Seq("ym"), "left")
       .na.fill(0L)
       .orderBy(col("ym"))
     (out, perDay)

@@ -62,19 +62,46 @@ object Materialize {
     val p = Synth.paramsFor(sfDir)
     var committed = 0
     var monthsDone = 0
-    for (year <- p.year until (p.year + p.years);
-         month <- 1 to p.months if monthsDone < maxMonths) {
-      monthsDone += 1
-      val dates = datesOfMonth(p, year, month)
-      val todo = TableIO.uncommitted(table, dates)
-      if (todo.nonEmpty) {
-        val b = Pipeline.trackedBuild(spark, p, Some(todo.toSet))
-        TableIO.replacePartitions(spark, table, b.triples.toDF(), "event_date",
-          todo, metricsFn = slice => lineageMetrics(slice, b.articleErrorsByDate))
-        b.releaseCaches() // month committed
-        committed += todo.size
-      }
+    // avgDayTime/avgMonthTime analogues (analytics.py:161-163): the reference
+    // times its sequential month/day loop; the Spark analogues are the
+    // month's wall clock and its summed executor task time (the distributed
+    // equivalent of "time spent processing this month's days"), recorded in
+    // the same manifest commit as the month's lineage counters.
+    val taskMs = new java.util.concurrent.atomic.LongAdder
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskInfo != null) taskMs.add(te.taskInfo.duration)
     }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      for (year <- p.year until (p.year + p.years);
+           month <- 1 to p.months if monthsDone < maxMonths) {
+        monthsDone += 1
+        val dates = datesOfMonth(p, year, month)
+        val todo = TableIO.uncommitted(table, dates)
+        if (todo.nonEmpty) {
+          val t0 = System.nanoTime
+          val task0 = taskMs.sum
+          val b = Pipeline.trackedBuild(spark, p, Some(todo.toSet))
+          TableIO.replacePartitions(spark, table, b.triples.toDF(), "event_date",
+            todo, metricsFn = slice => {
+              // called post-write: wall/task cover build + write of the month
+              val wallMs = math.max(1L, (System.nanoTime - t0) / 1000000L)
+              val monthTaskMs = math.max(0L, taskMs.sum - task0)
+              val timing = Map(
+                "month_wall_ms" -> wallMs,
+                "month_task_ms" -> monthTaskMs,
+                "avg_day_wall_ms" -> wallMs / todo.size,
+                "avg_day_task_ms" -> monthTaskMs / todo.size)
+              lineageMetrics(slice, b.articleErrorsByDate)
+                .map { case (k, mm) => k -> (mm ++ timing) }
+            })
+          b.releaseCaches() // month committed
+          committed += todo.size
+        }
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
     committed
   }
 }

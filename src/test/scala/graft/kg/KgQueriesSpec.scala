@@ -244,7 +244,20 @@ class KgQueriesSpec extends AnyFunSuite {
       assert(g("article_cache_misses") == hrefs.distinct.size)
       assert(g("article_cache_hits") == hrefs.size - hrefs.distinct.size)
       assert(g("n_event_links") == linksPerMonth(ym))
-      assert(row.schema.fieldNames.length >= 21) // >=20 counters + ym
+      assert(row.schema.fieldNames.length >= 29) // >=28 counters + ym
+      // KG-derived counters: exact against the sequential oracle triple set
+      val C = Ns.COY
+      def kgCnt(pred: String): Long =
+        oracle.filter(t => t.pred == C + pred && t.event_date.startsWith(ym))
+          .map(_.subj).size.toLong
+      assert(g("n_topics_with_timespan") == kgCnt("hasTimespan"))
+      assert(g("n_topics_with_location") == kgCnt("hasLocation"))
+      assert(g("n_timespans_with_start_date") == kgCnt("hasStartDate"))
+      assert(g("n_timespans_with_end_date") == kgCnt("hasEndDate"))
+      assert(g("n_timespans_ongoing") == kgCnt("hasOngoingSpan"))
+      assert(g("n_timespans_with_start_time") == kgCnt("hasStartTimestamp"))
+      assert(g("n_timespans_with_end_time") == kgCnt("hasEndTimestamp"))
+      assert(g("n_events_with_wd_type") == kgCnt("hasWikidataEventType"))
       // per-article flag counters are internally consistent
       assert(g("n_articles_with_wd") <= g("n_articles_resolved"))
       assert(g("n_articles_with_classes") <= g("n_articles_with_wd"))

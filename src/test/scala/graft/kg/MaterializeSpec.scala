@@ -50,6 +50,10 @@ class MaterializeSpec extends AnyFunSuite {
     assert(metrics.contains("n_time_parse_errors") && metrics.contains("n_date_parse_errors"))
     assert(metrics("n_triples") == m.partitions("2022-01-05").rows)
     assert(metrics("n_events") > 0 && metrics("n_articles") > 0)
+    // avgDayTime/avgMonthTime analogues land in the same commit
+    assert(metrics("month_wall_ms") > 0L)
+    assert(metrics("avg_day_wall_ms") <= metrics("month_wall_ms"))
+    assert(metrics.contains("month_task_ms") && metrics.contains("avg_day_task_ms"))
     // counters survive the manifest round-trip and a snapshot bump
     val someDate = "2022-01-06"
     val t = Pipeline.triples(spark, sfDir, Some(Set(someDate)))
