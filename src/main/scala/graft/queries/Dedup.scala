@@ -233,36 +233,54 @@ object Dedup {
   // token). Components are integers, so dot products and norms are
   // BIGINT-exact and the cosine reduces to ONE deterministic double
   // expression — identical in both engines, hence oracle-exact. Candidates
-  // come from 2 bands × 4 signed-hyperplane projections; the projections are
-  // integer sums, so the sign test has no FP ambiguity. Pairs are verified
-  // exactly and kept at cosine ≥ 0.95. The same plan over learned float
+  // come from 4 bands of signed-hyperplane projections (integer sums, so the
+  // sign test has no FP ambiguity); the planes-per-band count GROWS with the
+  // corpus — smallest p ≥ 4 with n_docs ≤ 50·2^p, a pure integer rule both
+  // engines evaluate identically — so expected bucket size stays ≤ ~50 and
+  // the banded self-join never goes quadratic. Pairs are verified exactly:
+  // each doc's sparse dims densify to one 64-slot BIGINT array, the
+  // candidate pair picks both arrays up via broadcast joins, and the dot is
+  // a codegen'd zip_with fold (s01's pattern) — O(64) per pair, no join
+  // explosion. Kept at cosine ≥ 0.95. The same plan over learned float
   // embeddings is s02's bucketing (the synthetic embeddings table has no
   // near-dup pairs to find — max pairwise cosine 0.51 — so documents is the
   // demonstrative input).
-  // Scale notes: feat is explode → hash-partitioned reduce, O(tokens); the
-  // pair join is banded on (band, bucket), never all-pairs; the plane count
-  // grows with log(corpus) to keep buckets bounded; the verification join
-  // touches candidate pairs only (sparse dims, dot via join on shared j).
-  private val NEmbBands = 2
-  private val NEmbPlanes = 4 // per band → 16 buckets/band at toy scale
+  private val NEmbBands = 4
   private val EmbDim = 64
+  private val EmbBucketTarget = 50L
+  private val MaxEmbPlanes = 16
   private val NearDupE6 = 950000L
+
+  private def embPlanesFor(nDocs: Long): Int =
+    (4 to MaxEmbPlanes).find(p => nDocs <= EmbBucketTarget * (1L << p))
+      .getOrElse(MaxEmbPlanes)
 
   def d06EmbeddingNeardup(s: SparkSession, d: String): DataFrame = {
     val nib = (i: Int) => s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
-    // sparse (doc_id, dim, count); feeds the projections AND both sides of
-    // the verification join — checkpoint so the token explode runs once
-    val feat = Tables.documents(s, d)
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.count()
+    val nPlanes = embPlanesFor(nDocs)
+    // sparse (doc_id, dim, count); feeds the projections and the dense
+    // vectors — checkpoint so the token explode runs once
+    val feat = docs
       .selectExpr("doc_id", "explode(split(text, ' ')) AS tok")
       .selectExpr("doc_id", "substr(md5(tok), 1, 2) AS h")
       .selectExpr("doc_id", s"(${nib(1)} * 16 + ${nib(2)}) % $EmbDim AS j")
       .groupBy(col("doc_id"), col("j"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint(true)
-    val norms = feat.groupBy(col("doc_id")).agg(sum(col("c") * col("c")).as("n2"))
-    val planes = s.range(NEmbBands * NEmbPlanes * EmbDim)
-      .selectExpr(s"CAST(id DIV ${NEmbPlanes * EmbDim} AS INT) AS band",
-        s"CAST((id DIV $EmbDim) % $NEmbPlanes AS INT) AS p",
+    // dense 64-slot vector + norm per doc (missing dims → 0); broadcast to
+    // both sides of the pair verification
+    val vecs = feat
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("j"), col("c")))).as("m"))
+      .selectExpr("doc_id",
+        s"transform(sequence(0, ${EmbDim - 1}), i -> coalesce(element_at(m, CAST(i AS INT)), CAST(0 AS BIGINT))) AS v")
+      .selectExpr("doc_id", "v",
+        "aggregate(v, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) AS n2")
+    val planes = s.range(NEmbBands.toLong * nPlanes * EmbDim)
+      .selectExpr(s"CAST(id DIV ${nPlanes * EmbDim} AS INT) AS band",
+        s"CAST((id DIV $EmbDim) % $nPlanes AS INT) AS p",
         s"CAST(id % $EmbDim AS INT) AS j")
       .selectExpr("band", "p", "j",
         "CASE WHEN (instr('0123456789abcdef', " +
@@ -280,14 +298,22 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    val dots = cand
-      .join(feat.as("fa"), col("a") === col("fa.doc_id"))
-      .join(feat.as("fb"), col("b") === col("fb.doc_id") && col("fa.j") === col("fb.j"))
-      .groupBy(col("a"), col("b"))
-      .agg(sum(col("fa.c") * col("fb.c")).as("dot"))
-    dots
-      .join(norms.select(col("doc_id").as("a"), col("n2").as("n2a")), Seq("a"))
-      .join(norms.select(col("doc_id").as("b"), col("n2").as("n2b")), Seq("b"))
+    // the dense-vector side is a narrow (doc_id, 64×BIGINT) projection —
+    // broadcast below the size gate (same pattern as the one-hop join's
+    // conf-gated fallback); oversize corpora fall back to a shuffle join on
+    // the pair keys, which co-partitions with cand's distinct
+    val bcMax = s.conf.getOption("graft.d06.broadcast.maxDocs")
+      .map(_.toLong).getOrElse(1000000L)
+    def side(n: String, vn: String, nn: String) = {
+      val v = vecs.select(col("doc_id").as(n), col("v").as(vn), col("n2").as(nn))
+      if (nDocs <= bcMax) broadcast(v) else v
+    }
+    cand
+      .join(side("a", "va", "n2a"), Seq("a"))
+      .join(side("b", "vb", "n2b"), Seq("b"))
+      .selectExpr("a", "b",
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v) AS dot",
+        "n2a", "n2b")
       .selectExpr("a", "b",
         "CAST(floor(1e6 * dot / (sqrt(n2a) * sqrt(n2b))) AS BIGINT) AS sim_e6")
       .filter(col("sim_e6") >= NearDupE6)
@@ -296,21 +322,33 @@ object Dedup {
 
   val d06Sql: String = {
     val nib = (i: Int) => s"(instr('0123456789abcdef', substr(md5(tok), $i, 1)) - 1)"
-    s"""WITH toks AS (
+    s"""WITH nplanes AS (
+       |  SELECT COALESCE(MIN(p), $MaxEmbPlanes) AS np
+       |  FROM generate_series(4, $MaxEmbPlanes) t(p)
+       |  WHERE (SELECT COUNT(*) FROM documents) <= $EmbBucketTarget * (CAST(1 AS BIGINT) << p)),
+       |toks AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
        |feat AS (
        |  SELECT doc_id, (${nib(1)} * 16 + ${nib(2)}) % $EmbDim AS j,
        |    CAST(COUNT(*) AS BIGINT) AS c
        |  FROM toks GROUP BY doc_id, j),
-       |norms AS (SELECT doc_id, CAST(SUM(c * c) AS BIGINT) AS n2 FROM feat GROUP BY doc_id),
+       |vecs AS (
+       |  SELECT f.doc_id,
+       |    list(COALESCE(ff.c, 0) ORDER BY s.i) AS v,
+       |    CAST(SUM(COALESCE(ff.c, 0) * COALESCE(ff.c, 0)) AS BIGINT) AS n2
+       |  FROM (SELECT DISTINCT doc_id FROM feat) f
+       |  CROSS JOIN generate_series(0, ${EmbDim - 1}) s(i)
+       |  LEFT JOIN feat ff ON ff.doc_id = f.doc_id AND ff.j = s.i
+       |  GROUP BY f.doc_id),
        |planes AS (
        |  SELECT band, p, j,
        |    CASE WHEN (instr('0123456789abcdef',
        |        substr(md5('eb' || band || '_' || p || '_' || j), 1, 1)) - 1) % 2 = 0
        |      THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS sgn
        |  FROM generate_series(0, ${NEmbBands - 1}) tb(band),
-       |       generate_series(0, ${NEmbPlanes - 1}) tp(p),
-       |       generate_series(0, ${EmbDim - 1}) tj(j)),
+       |       generate_series(0, ${MaxEmbPlanes - 1}) tp(p),
+       |       generate_series(0, ${EmbDim - 1}) tj(j)
+       |  WHERE p < (SELECT np FROM nplanes)),
        |bkt AS (
        |  SELECT doc_id, band,
        |    CAST(SUM(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
@@ -322,16 +360,15 @@ object Dedup {
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |  FROM bkt x JOIN bkt y
-       |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
-       |dots AS (
-       |  SELECT a, b, CAST(SUM(fa.c * fb.c) AS BIGINT) AS dot
-       |  FROM cand JOIN feat fa ON a = fa.doc_id
-       |  JOIN feat fb ON b = fb.doc_id AND fa.j = fb.j
-       |  GROUP BY a, b)
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
        |SELECT a, b,
-       |  CAST(floor(1e6 * dot / (sqrt(na.n2) * sqrt(nb.n2))) AS BIGINT) AS sim_e6
-       |FROM dots JOIN norms na ON na.doc_id = a JOIN norms nb ON nb.doc_id = b
-       |WHERE floor(1e6 * dot / (sqrt(na.n2) * sqrt(nb.n2))) >= $NearDupE6
+       |  CAST(floor(1e6 *
+       |    (SELECT SUM(pa.v[i] * pb.v[i]) FROM generate_series(1, $EmbDim) t(i)) /
+       |    (sqrt(pa.n2) * sqrt(pb.n2))) AS BIGINT) AS sim_e6
+       |FROM cand JOIN vecs pa ON pa.doc_id = a JOIN vecs pb ON pb.doc_id = b
+       |WHERE floor(1e6 *
+       |    (SELECT SUM(pa.v[i] * pb.v[i]) FROM generate_series(1, $EmbDim) t(i)) /
+       |    (sqrt(pa.n2) * sqrt(pb.n2))) >= $NearDupE6
        |ORDER BY sim_e6 DESC, a, b""".stripMargin
   }
 
