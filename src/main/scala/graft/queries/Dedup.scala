@@ -244,7 +244,11 @@ object Dedup {
   // explosion. Kept at cosine ≥ 0.95. The same plan over learned float
   // embeddings is s02's bucketing (the synthetic embeddings table has no
   // near-dup pairs to find — max pairwise cosine 0.51 — so documents is the
-  // demonstrative input).
+  // demonstrative input). At production scale this composes with d02's
+  // exact-fingerprint pre-collapse: a k-member identical-text cluster emits
+  // O(k²) pairs here (all share every bucket), so collapse to canonical
+  // representatives first and pair members with their rep, exactly as
+  // d02LshPairs does.
   private val NEmbBands = 4
   private val EmbDim = 64
   private val EmbBucketTarget = 50L
@@ -278,6 +282,7 @@ object Dedup {
         s"transform(sequence(0, ${EmbDim - 1}), i -> coalesce(element_at(m, CAST(i AS INT)), CAST(0 AS BIGINT))) AS v")
       .selectExpr("doc_id", "v",
         "aggregate(v, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) AS n2")
+      .localCheckpoint(true) // feeds BOTH broadcast sides — compute once
     val planes = s.range(NEmbBands.toLong * nPlanes * EmbDim)
       .selectExpr(s"CAST(id DIV ${nPlanes * EmbDim} AS INT) AS band",
         s"CAST((id DIV $EmbDim) % $nPlanes AS INT) AS p",
@@ -293,6 +298,7 @@ object Dedup {
         "CASE WHEN proj > 0 THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END AS bit")
       .groupBy(col("doc_id"), col("band"))
       .agg(sum(col("bit")).as("bucket"))
+      .localCheckpoint(true) // both sides of the banded self-join
     val cand = bkt.as("x").join(bkt.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
