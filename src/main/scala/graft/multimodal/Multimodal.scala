@@ -116,13 +116,56 @@ object Multimodal {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** m04: resize planning — aspect-preserving target dimensions for a
+    * max-edge-224 thumbnail of every media blob, plus the fingerprint the
+    * resized artifact would be stored under. The geometry math is the real
+    * part (pure integer arithmetic, oracle-exact); producing the resized
+    * bytes is the same codec stub boundary as m03 — a production resizer
+    * plugs into the identical projection shape (or mapPartitions for a
+    * native library). Dimensions come from m01's decode-stub metadata.
+    */
+  def m04ResizePlan(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .selectExpr("doc_id", "encode(text, 'UTF-8') AS media")
+      .selectExpr(
+        "doc_id", "md5(media) AS media_md5",
+        "CAST(16 * (16 + (instr('0123456789abcdef', substr(md5(media), 2, 1)) - 1)) AS BIGINT) AS width",
+        "CAST(16 * (9 + (instr('0123456789abcdef', substr(md5(media), 3, 1)) - 1)) AS BIGINT) AS height")
+      .selectExpr("doc_id", "media_md5", "width", "height",
+        "CASE WHEN width >= height THEN CAST(224 AS BIGINT) " +
+          "ELSE greatest(CAST(1 AS BIGINT), (width * 224) DIV height) END AS target_w",
+        "CASE WHEN width >= height THEN greatest(CAST(1 AS BIGINT), (height * 224) DIV width) " +
+          "ELSE CAST(224 AS BIGINT) END AS target_h")
+      .selectExpr("doc_id", "width", "height", "target_w", "target_h",
+        "md5(concat(media_md5, ':', CAST(target_w AS STRING), 'x', CAST(target_h AS STRING))) AS resized_fp")
+      .orderBy(col("doc_id"))
+
+  val m04Sql: String =
+    """WITH dims AS (
+      |  SELECT doc_id, md5(text) AS media_md5,
+      |    16 * (16 + (instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1)) AS width,
+      |    16 * (9 + (instr('0123456789abcdef', substr(md5(text), 3, 1)) - 1)) AS height
+      |  FROM documents),
+      |plan AS (
+      |  SELECT doc_id, media_md5, width, height,
+      |    CASE WHEN width >= height THEN 224
+      |      ELSE greatest(1, (width * 224) // height) END AS target_w,
+      |    CASE WHEN width >= height THEN greatest(1, (height * 224) // width)
+      |      ELSE 224 END AS target_h
+      |  FROM dims)
+      |SELECT doc_id, width, height, target_w, target_h,
+      |  md5(media_md5 || ':' || target_w || 'x' || target_h) AS resized_fp
+      |FROM plan ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_inventory" -> (m01MediaInventory _),
     "m02_frame_sample" -> (m02FrameSample _),
-    "m03_feature_extract" -> (m03FeatureExtract _))
+    "m03_feature_extract" -> (m03FeatureExtract _),
+    "m04_resize_plan" -> (m04ResizePlan _))
 
   def oracleSql: Map[String, String] = Map(
     "m01_media_inventory" -> m01Sql,
     "m02_frame_sample" -> m02Sql,
-    "m03_feature_extract" -> m03Sql)
+    "m03_feature_extract" -> m03Sql,
+    "m04_resize_plan" -> m04Sql)
 }
