@@ -14,8 +14,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       // fixed-point loops (CC, frontier closures) run tiny per-round frames;
-      // pin a narrow shuffle width inside them (plans.Aqe.without applies it)
-      .config("graft.loop.shufflePartitions", "8")
+      // pin a narrow shuffle width inside them (plans.Aqe.without applies
+      // it) — never wider than the session width
+      .config("graft.loop.shufflePartitions",
+        math.min(8, cpus.toInt).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -35,7 +35,12 @@ object KgPipeline {
     enrichedCache.getOrElseUpdate(sfDir, {
       val (e, stageCaches) = Pipeline.enrichedArticlesTracked(spark, Synth.paramsFor(sfDir))
       val persisted = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      persisted.count()
+      try persisted.count()
+      catch { case t: Throwable => // failed builder must not strand blocks
+        persisted.unpersist(blocking = false)
+        stageCaches.foreach(_.unpersist(blocking = false))
+        throw t
+      }
       stageCaches.foreach(_.unpersist(blocking = false))
       persisted
     })
@@ -55,7 +60,8 @@ object KgPipeline {
       val e = triples(spark, sfDir)
         .select(col("subj"), col("pred"), col("obj")).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      e.count() // materialize so every consumer hits the cache
+      try e.count() // materialize so every consumer hits the cache
+      catch { case t: Throwable => e.unpersist(blocking = false); throw t }
       e
     })
 
@@ -310,7 +316,10 @@ object KgPipeline {
     metricsCache.getOrElseUpdate(d, {
       val (raw, perDay) = kg12MonthlyMetricsUncached(s, d)
       val m = raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      m.count() // kg13's window reads the cache, not a re-run of the dataflow
+      try m.count() // kg13's window reads the cache, not a re-run
+      catch { case t: Throwable => // failed builder must not strand blocks
+        m.unpersist(blocking = false); perDay.unpersist(blocking = false); throw t
+      }
       perDay.unpersist(blocking = false)
       m
     })

@@ -112,7 +112,8 @@ object Exports {
     }
     val header = prefixTable.filter(p => used.contains(p._1)).sortBy(_._1)
       .map { case (pfx, ns) => s"@prefix $pfx: <$ns> ." }
-    header.mkString("", "\n", "\n\n") + blocks.mkString("\n\n") + "\n"
+    val headerPart = if (header.isEmpty) "" else header.mkString("", "\n", "\n\n")
+    headerPart + blocks.mkString("\n\n") + "\n"
   }
 
   /** JSON-LD node objects for one graph module: triples grouped by subject,

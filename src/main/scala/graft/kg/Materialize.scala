@@ -73,6 +73,19 @@ object Materialize {
           te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         if (te.taskInfo != null) taskMs.add(te.taskInfo.duration)
     }
+    // listener events arrive asynchronously on the bus; by read time every
+    // task has ENDED (the write action returned), only delivery lags — wait
+    // until the sum stabilizes so a month's tail tasks are not undercounted
+    // or attributed to the next month
+    def settledTaskMs(): Long = {
+      var prev = -1L
+      var cur = taskMs.sum
+      var waited = 0
+      while (cur != prev && waited < 2000) {
+        prev = cur; Thread.sleep(50); waited += 50; cur = taskMs.sum
+      }
+      cur
+    }
     spark.sparkContext.addSparkListener(listener)
     try {
       for (year <- p.year until (p.year + p.years);
@@ -82,13 +95,13 @@ object Materialize {
         val todo = TableIO.uncommitted(table, dates)
         if (todo.nonEmpty) {
           val t0 = System.nanoTime
-          val task0 = taskMs.sum
+          val task0 = settledTaskMs()
           val b = Pipeline.trackedBuild(spark, p, Some(todo.toSet))
           TableIO.replacePartitions(spark, table, b.triples.toDF(), "event_date",
             todo, metricsFn = slice => {
               // called post-write: wall/task cover build + write of the month
               val wallMs = math.max(1L, (System.nanoTime - t0) / 1000000L)
-              val monthTaskMs = math.max(0L, taskMs.sum - task0)
+              val monthTaskMs = math.max(0L, settledTaskMs() - task0)
               val timing = Map(
                 "month_wall_ms" -> wallMs,
                 "month_task_ms" -> monthTaskMs,

@@ -65,6 +65,12 @@ object Pipeline {
       }
   }
 
+  /** Untracked convenience wrapper (tests): DISCARDS the stage-cache
+    * handles, so the parse-stage persist can never be released and — worse —
+    * Spark's CacheManager may silently serve the leaked cache to any later
+    * plan with the same subtree. Long-lived callers must use
+    * [[enrichedArticlesTracked]] and release after materializing.
+    */
   def enrichedArticles(spark: SparkSession, p: Synth.Params): Dataset[EnrichedArticle] =
     enrichedArticlesTracked(spark, p)._1
 

@@ -12,11 +12,21 @@ import org.apache.spark.sql.SparkSession
 object Aqe {
   // Session conf is shared mutable state: two overlapping without-blocks
   // would corrupt each other's save/restore (A restores mid-B, B's loop
-  // runs AQE-on, B "restores" A's off). Serialize the windows per process.
-  // Residual (documented): unrelated queries submitted on the same session
-  // DURING a window plan without AQE — a perf-only effect; use a dedicated
-  // session per concurrent stream if that matters.
-  private val lock = new java.util.concurrent.locks.ReentrantLock()
+  // runs AQE-on, B "restores" A's off). Serialize windows PER SESSION (a
+  // global lock would also serialize unrelated sessions and could deadlock
+  // a window that waits on another thread's window on a different session);
+  // the lock is reentrant, so nested without-blocks on one thread (e.g. a
+  // kg query wrapping ConnectedComponents.run) are fine. Residual
+  // (documented): unrelated queries submitted on the same session DURING a
+  // window plan without AQE — a perf-only effect; use a dedicated session
+  // per concurrent stream if that matters.
+  private val locks =
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.locks.ReentrantLock]()
+  private def lockFor(s: SparkSession) = locks.synchronized {
+    var l = locks.get(s)
+    if (l == null) { l = new java.util.concurrent.locks.ReentrantLock(); locks.put(s, l) }
+    l
+  }
 
   def without[A](spark: SparkSession)(f: => A): A = {
     val k = "spark.sql.adaptive.enabled"
@@ -26,6 +36,7 @@ object Aqe {
     // default — at cluster scale per-round frames can be large and the
     // session-wide width (or AQE coalescing) is the right answer.
     val kp = "spark.sql.shuffle.partitions"
+    val lock = lockFor(spark)
     lock.lock()
     try {
       val prev = spark.conf.getOption(k)

@@ -93,7 +93,11 @@ object Dedup {
         .selectExpr("doc_id",
           s"stack($NSeeds, ${(0 until NSeeds).map(k => s"$k, mh$k").mkString(", ")}) AS (band, sig)")
         .persist(StorageLevel.MEMORY_AND_DISK)
-      sigs.count() // materialize the whole chain once (groups + reps en route)
+      try sigs.count() // materialize the whole chain once (groups + reps en route)
+      catch { case t: Throwable => // failed builder must not strand blocks
+        sigs.unpersist(blocking = false); reps.unpersist(blocking = false)
+        groups.unpersist(blocking = false); throw t
+      }
       Prologue(groups, reps, groupPairs, sigs)
     })
 
@@ -122,8 +126,10 @@ object Dedup {
     val bounded = sigs.join(bucketSizes, Seq("band", "sig"), "left_semi")
     // cand and sh each feed two joins below — eagerly checkpoint so the
     // self-join / verification join read blocks, not recompute lineage
-    // (blocks are GC-cleaned with the frame; at 100 TB this is a disk
-    // checkpoint of pair keys, O(candidates) not O(corpus))
+    // (blocks are GC-cleaned with the frames once the query's consumers
+    // finish). cand is O(candidate pairs); sh is restricted to docs that
+    // appear in a candidate pair BEFORE the shingle explode, so it is
+    // O(candidate docs' shingles), not O(corpus)
     val cand = bounded.as("x").join(bounded.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -131,8 +137,10 @@ object Dedup {
       .unionByName(pro.groupPairs) // exact/BoW members ↔ canonical rep
       .distinct()
       .localCheckpoint(true)
-    // distinct word-3-gram sets
-    val sh = docs.selectExpr("doc_id", s"explode(array_distinct($shingle3)) AS sh")
+    val candDocs = cand.selectExpr("explode(array(a, b)) AS doc_id").distinct()
+    // distinct word-3-gram sets of candidate docs only
+    val sh = docs.join(candDocs, Seq("doc_id"), "left_semi")
+      .selectExpr("doc_id", s"explode(array_distinct($shingle3)) AS sh")
       .localCheckpoint(true)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = cand
@@ -244,11 +252,11 @@ object Dedup {
   // explosion. Kept at cosine ≥ 0.95. The same plan over learned float
   // embeddings is s02's bucketing (the synthetic embeddings table has no
   // near-dup pairs to find — max pairwise cosine 0.51 — so documents is the
-  // demonstrative input). At production scale this composes with d02's
-  // exact-fingerprint pre-collapse: a k-member identical-text cluster emits
-  // O(k²) pairs here (all share every bucket), so collapse to canonical
-  // representatives first and pair members with their rep, exactly as
-  // d02LshPairs does.
+  // demonstrative input). Like d02, identical-text clusters are COLLAPSED to
+  // a canonical representative before banding (a k-member cluster shares
+  // every bucket and would emit O(k²) pairs); members pair with their rep
+  // directly and LSH hunts near-dups among representatives only, so output
+  // semantics match d02's canonical pairing.
   private val NEmbBands = 4
   private val EmbDim = 64
   private val EmbBucketTarget = 50L
@@ -262,10 +270,22 @@ object Dedup {
   def d06EmbeddingNeardup(s: SparkSession, d: String): DataFrame = {
     val nib = (i: Int) => s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
     val docs = Tables.documents(s, d)
-    val nDocs = docs.count()
-    val nPlanes = embPlanesFor(nDocs)
-    // sparse (doc_id, dim, count); feeds the projections and the dense
-    // vectors — checkpoint so the token explode runs once
+    // exact-text pre-collapse: identical texts ⇒ identical vectors; band
+    // representatives only, pair members with their rep (verified through
+    // the same cosine expression, so every output row is formula-derived)
+    val fpGroups = docs.selectExpr("doc_id", "md5(text) AS fp")
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
+      .localCheckpoint(true) // feeds the rep semi-join + group pairs + count
+    val groupPairs = fpGroups
+      .selectExpr("rep AS a", "explode(members) AS b")
+      .filter(col("a") < col("b"))
+    val nDocs = docs.count() // parquet metadata count; sizes the vec broadcast
+    val nReps = fpGroups.count()
+    val nPlanes = embPlanesFor(nReps) // buckets hold representatives
+    // sparse (doc_id, dim, count) over ALL docs (members verify with their
+    // own text); feeds the rep projections and the dense vectors —
+    // checkpoint so the token explode runs once
     val feat = docs
       .selectExpr("doc_id", "explode(split(text, ' ')) AS tok")
       .selectExpr("doc_id", "substr(md5(tok), 1, 2) AS h")
@@ -273,6 +293,8 @@ object Dedup {
       .groupBy(col("doc_id"), col("j"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint(true)
+    val repFeat = feat.join(
+      fpGroups.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
     // dense 64-slot vector + norm per doc (missing dims → 0); broadcast to
     // both sides of the pair verification
     val vecs = feat
@@ -291,7 +313,7 @@ object Dedup {
         "CASE WHEN (instr('0123456789abcdef', " +
           "substr(md5(concat('eb', band, '_', p, '_', j)), 1, 1)) - 1) % 2 = 0 " +
           "THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS sgn")
-    val bkt = feat.join(broadcast(planes), Seq("j"))
+    val bkt = repFeat.join(broadcast(planes), Seq("j"))
       .groupBy(col("doc_id"), col("band"), col("p"))
       .agg(sum(col("sgn") * col("c")).as("proj"))
       .selectExpr("doc_id", "band",
@@ -303,6 +325,7 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .unionByName(groupPairs) // exact-dup members ↔ canonical rep
       .distinct()
     // the dense-vector side is a narrow (doc_id, 64×BIGINT) projection —
     // broadcast below the size gate (same pattern as the one-hop join's
@@ -328,10 +351,15 @@ object Dedup {
 
   val d06Sql: String = {
     val nib = (i: Int) => s"(instr('0123456789abcdef', substr(md5(tok), $i, 1)) - 1)"
-    s"""WITH nplanes AS (
+    s"""WITH grps AS (
+       |  SELECT md5(text) AS fp, MIN(doc_id) AS rep, list(doc_id) AS members
+       |  FROM documents GROUP BY fp),
+       |grp_pairs AS (
+       |  SELECT rep AS a, unnest(members) AS b FROM grps),
+       |nplanes AS (
        |  SELECT COALESCE(MIN(p), $MaxEmbPlanes) AS np
        |  FROM generate_series(4, $MaxEmbPlanes) t(p)
-       |  WHERE (SELECT COUNT(*) FROM documents) <= $EmbBucketTarget * (CAST(1 AS BIGINT) << p)),
+       |  WHERE (SELECT COUNT(*) FROM grps) <= $EmbBucketTarget * (CAST(1 AS BIGINT) << p)),
        |toks AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
        |feat AS (
@@ -361,12 +389,16 @@ object Dedup {
        |  FROM (
        |    SELECT f.doc_id, pl.band, pl.p, SUM(pl.sgn * f.c) AS proj
        |    FROM feat f JOIN planes pl ON f.j = pl.j
+       |    JOIN grps g ON f.doc_id = g.rep
        |    GROUP BY f.doc_id, pl.band, pl.p) t
        |  GROUP BY doc_id, band),
        |cand AS (
-       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-       |  FROM bkt x JOIN bkt y
-       |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT x.doc_id AS a, y.doc_id AS b
+       |    FROM bkt x JOIN bkt y
+       |      ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+       |    UNION ALL
+       |    SELECT a, b FROM grp_pairs WHERE a < b) u)
        |SELECT a, b,
        |  CAST(floor(1e6 *
        |    (SELECT SUM(pa.v[i] * pb.v[i]) FROM generate_series(1, $EmbDim) t(i)) /
