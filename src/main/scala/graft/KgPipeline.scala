@@ -34,18 +34,15 @@ object KgPipeline {
   def enriched(spark: SparkSession, sfDir: String): Dataset[EnrichedArticle] =
     enrichedCache.getOrElseUpdate(sfDir, {
       val (e, stageCaches) = Pipeline.enrichedArticlesTracked(spark, Synth.paramsFor(sfDir))
-      val persisted = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try persisted.count()
-      catch { case t: Throwable => // failed builder must not strand blocks
-        persisted.unpersist(blocking = false)
-        stageCaches.foreach(_.unpersist(blocking = false))
-        throw t
-      }
-      stageCaches.foreach(_.unpersist(blocking = false))
-      persisted
+      try e.localCheckpoint(true) // eager materialization + leaf plan
+      finally stageCaches.foreach(_.unpersist(blocking = false))
     })
 
-  /** Drop every per-sf cached block (bench/verify hygiene). */
+  /** Drop every per-sf cached block (bench/verify hygiene). Checkpoint-
+    * backed caches (triples/edges/enriched/metrics) free their blocks via
+    * ContextCleaner once the references cleared here are GC'd, or at JVM
+    * exit; unpersist covers any persist-backed values.
+    */
   def release(): Unit = {
     cache.values.foreach(_.unpersist(blocking = false))
     edgeCache.values.foreach(_.unpersist(blocking = false))
@@ -54,15 +51,34 @@ object KgPipeline {
     cache.clear(); edgeCache.clear(); enrichedCache.clear(); metricsCache.clear()
   }
 
-  /** Date-deduped edges, cached per sf. */
+  /** Predicates the shared edge cache retains — the union of every kg-query
+    * projection below. The cache deliberately EXCLUDES the heavy literal
+    * payloads (raw HTML bodies, NIF text spans, span indices): they dominate
+    * triple bytes and no graph-shaped query reads them, yet un-filtered they
+    * are deserialized on every one of the cache's ~8 scans per chain query
+    * AND shuffled through the date-dedup distinct. A consumer adding a new
+    * predicate must extend this list; the KgQueriesSpec sequential-oracle
+    * fixtures fail immediately if a needed predicate is missing.
+    */
+  private val EdgePreds: Seq[String] = Seq(
+    Ns.COY + "hasMentionDate", Ns.COY + "isOccuringDuring",
+    Ns.COY + "isIdentifiedBy", Ns.COY + "hasOsmElement",
+    Ns.COY + "hasWikidataEventType",
+    Ns.NIF + "subString", Ns.GN + "wikipediaArticle", Ns.GEO + "asWKT",
+    Ns.SCHEMA + "name", Ns.owlSameAs, Ns.rdfType, Ns.rdfsLabel,
+    "http://www.wikidata.org/prop/direct/P31")
+
+  /** Date-deduped edges over the kg-query predicate set, cached per sf.
+    * localCheckpoint (not persist): chain queries embed up to 8 copies of
+    * this frame, and a leaf plan keeps their eager per-transformation
+    * analysis O(query), not O(copies × lineage) — see materializedTriples.
+    */
   def edges(spark: SparkSession, sfDir: String): DataFrame =
     edgeCache.getOrElseUpdate(sfDir, {
-      val e = triples(spark, sfDir)
+      triples(spark, sfDir)
+        .filter(col("pred").isin(EdgePreds: _*))
         .select(col("subj"), col("pred"), col("obj")).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try e.count() // materialize so every consumer hits the cache
-      catch { case t: Throwable => e.unpersist(blocking = false); throw t }
-      e
+        .localCheckpoint(true)
     })
 
   /** Flagship: full pipeline at tiny scale — returns the triple DataFrame. */
@@ -315,13 +331,9 @@ object KgPipeline {
   def kg12MonthlyMetrics(s: SparkSession, d: String): DataFrame =
     metricsCache.getOrElseUpdate(d, {
       val (raw, perDay) = kg12MonthlyMetricsUncached(s, d)
-      val m = raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try m.count() // kg13's window reads the cache, not a re-run
-      catch { case t: Throwable => // failed builder must not strand blocks
-        m.unpersist(blocking = false); perDay.unpersist(blocking = false); throw t
-      }
-      perDay.unpersist(blocking = false)
-      m
+      // eager leaf materialization; kg13's window reads blocks, not a re-run
+      try raw.localCheckpoint(true)
+      finally perDay.unpersist(blocking = false)
     })
 
   private def kg12MonthlyMetricsUncached(s: SparkSession, d: String): (DataFrame, DataFrame) = {

@@ -99,5 +99,34 @@ object QueryTimer {
         .join(frontier, Seq("node"), "left_anti")
         .localCheckpoint(true)
     }
+    // kg05 chain decomposition
+    def p(pred: String) = e.filter(col("pred") === pred)
+      .select(col("subj"), col("obj"))
+    val evCtx = p(Ns.COY + "isIdentifiedBy").select(col("subj").as("event"), col("obj").as("ctx"))
+    val ctxSent = p(Ns.NIF + "subString").select(col("subj").as("ctx"), col("obj").as("sent"))
+      .filter(col("sent").startsWith(Ns.sentences))
+    val sentPhrase = p(Ns.NIF + "subString").select(col("subj").as("sent"), col("obj").as("phrase"))
+      .filter(col("phrase").startsWith(Ns.phrases))
+    val phraseArt = p(Ns.GN + "wikipediaArticle")
+      .filter(col("subj").startsWith(Ns.phrases))
+      .select(col("subj").as("phrase"), col("obj").as("article"))
+    println(s"[probe] evCtx rows: ${t("evCtx")(evCtx.count())}")
+    println(s"[probe] ctxSent rows: ${t("ctxSent")(ctxSent.count())}")
+    val c2 = evCtx.join(ctxSent, "ctx")
+    println(s"[probe] chain2 rows: ${t("chain2")(c2.count())}")
+    val c3 = c2.join(sentPhrase, "sent")
+    println(s"[probe] chain3 rows: ${t("chain3")(c3.count())}")
+    val c4 = c3.join(phraseArt, "phrase")
+    println(s"[probe] chain4 rows: ${t("chain4")(c4.count())}")
+    val q5 = KgPipeline.kg05EventMapWkts(spark, d)
+    t("kg05 planning only")(q5.queryExecution.executedPlan)
+    t("kg05 execute after planned")(q5.count())
+    t("kg05 full fresh1")(KgPipeline.kg05EventMapWkts(spark, d).count())
+    t("kg05 full fresh2")(KgPipeline.kg05EventMapWkts(spark, d).count())
+    val q5b = KgPipeline.kg05EventMapWkts(spark, d)
+    t("kg05b planning only")(q5b.queryExecution.executedPlan)
+    t("kg05b execute after planned")(q5b.count())
+    t("kg05 collect not count")(KgPipeline.kg05EventMapWkts(spark, d).collect().length)
+    t("kg06 full")(KgPipeline.kg06TopicGraph(spark, d).count())
   }
 }

@@ -139,10 +139,18 @@ object Pipeline {
   def materializedTriples(spark: SparkSession, sfDir: String,
       onlyDates: Option[Set[String]] = None): Dataset[Triple] = {
     val b = trackedBuild(spark, Synth.paramsFor(sfDir), onlyDates)
-    val persisted = b.triples.persist(StorageLevel.MEMORY_AND_DISK)
-    persisted.count()
+    // localCheckpoint, not persist: materializes the same MEMORY_AND_DISK
+    // blocks AND truncates the logical plan to a leaf. The full build plan
+    // is hundreds of nodes; downstream kg queries embed up to ~8 copies of
+    // this frame, and with the un-truncated lineage every Dataset
+    // transformation re-analyzes all of them — measured ~7 s of ANALYSIS per
+    // chain query at sf0.1, dwarfing planning (0.5 s) and execution (2 s).
+    // Blocks are released when the frame becomes unreachable after
+    // KgPipeline.release() drops the reference (ContextCleaner), or at JVM
+    // exit.
+    val checkpointed = b.triples.localCheckpoint(true)
     b.releaseCaches()
-    persisted
+    checkpointed
   }
 
   /** A triple build plus the stage caches it holds (released by the caller

@@ -74,4 +74,22 @@ class DedupSpec extends AnyFunSuite {
     assert(got.exists { case (a, b, s) => a <= 2L && b == 3L && s >= 950000L })
     assert(!got.exists { case (a, b, _) => a == 4L || b == 4L })
   }
+
+  test("d06 pre-collapse pairs a big identical-text cluster with its rep, not O(k^2)") {
+    import spark.implicits._
+    val cluster = (0L until 100L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again and again tonight"))
+    val filler = (100L until 130L).map(i =>
+      (i, (0 until 10).map(j => s"tok${i}x$j").mkString(" ")))
+    val dir = Files.createTempDirectory("graft_dedup4").toString
+    (cluster ++ filler).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.queries("d06_embedding_neardup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val clusterPairs = got.filter { case (a, _, _) => a == 0L }
+    assert(clusterPairs.length == 99) // member ↔ canonical rep, all k-1 of them
+    assert(clusterPairs.forall { case (_, b, s) => b >= 1L && b < 100L && s >= 999998L })
+    // no member-member pair survives the collapse (canonical semantics)
+    assert(!got.exists { case (a, b, _) => a >= 1L && a < 100L && b < 100L })
+  }
 }
