@@ -69,7 +69,7 @@ object Dedup {
     * At 100 TB the same persist(MEMORY_AND_DISK) holds: signatures are a
     * narrow (doc_id, band, sig) projection, a tiny fraction of corpus bytes.
     */
-  private case class Prologue(groups: DataFrame, reps: DataFrame,
+  private case class Prologue(groups: DataFrame,
       groupPairs: DataFrame, sigs: DataFrame)
 
   private val prologueCache =
@@ -86,26 +86,26 @@ object Dedup {
       val groupPairs = groups
         .selectExpr("rep AS a", "explode(members) AS b")
         .filter(col("a") < col("b"))
+      // reps (full text rows) feeds ONLY the signature build — no persist:
+      // once sigs materializes it is never read again
       val reps = docs.join(groups.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
-        .persist(StorageLevel.MEMORY_AND_DISK)
       val sigs = reps
         .selectExpr(Seq("doc_id") ++ (0 until NSeeds).map(minhashExpr): _*)
         .selectExpr("doc_id",
           s"stack($NSeeds, ${(0 until NSeeds).map(k => s"$k, mh$k").mkString(", ")}) AS (band, sig)")
         .persist(StorageLevel.MEMORY_AND_DISK)
-      try sigs.count() // materialize the whole chain once (groups + reps en route)
+      try sigs.count() // materialize the whole chain once (groups en route)
       catch { case t: Throwable => // failed builder must not strand blocks
-        sigs.unpersist(blocking = false); reps.unpersist(blocking = false)
+        sigs.unpersist(blocking = false)
         groups.unpersist(blocking = false); throw t
       }
-      Prologue(groups, reps, groupPairs, sigs)
+      Prologue(groups, groupPairs, sigs)
     })
 
   /** Drop the cached LSH prologue blocks (bench/verify hygiene). */
   def release(): Unit = {
     prologueCache.values.foreach { p =>
       p.sigs.unpersist(blocking = false)
-      p.reps.unpersist(blocking = false)
       p.groups.unpersist(blocking = false)
     }
     prologueCache.clear()
