@@ -20,6 +20,7 @@ object QueryTimer {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.headOption.contains("probeD02")) { probeD02(spark, sfDir); spark.stop(); return }
     KgPipeline.triples(spark, sfDir).count()
     KgPipeline.edges(spark, sfDir).count()
     if (args.headOption.contains("probe")) { probe(spark, sfDir); spark.stop(); return }
@@ -37,6 +38,29 @@ object QueryTimer {
     val r = f
     println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     r
+  }
+
+  /** Cold-path decomposition of the d02 LSH prologue + body. */
+  def probeD02(spark: SparkSession, d: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.queries.Tables
+    val docs = Tables.documents(spark, d).filter(size(split(col("text"), " ")) >= 3)
+    t("docs scan")(docs.count())
+    val bowFp = "md5(array_join(array_sort(array_distinct(split(text, ' '))), ' '))"
+    t("bow fp groupBy")(docs.selectExpr("doc_id", s"$bowFp AS fp")
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("rep")).count())
+    val mh = (0 until 4).map(k =>
+      s"array_min(transform(sequence(1, greatest(length(text) - 7, 1)), " +
+        s"i -> md5(concat('s$k', substr(text, i, 8))))) AS mh$k")
+    t("minhash 4 seeds over all docs")(
+      docs.selectExpr(Seq("doc_id") ++ mh: _*).count())
+    val sh3 = "transform(sequence(1, size(split(text, ' ')) - 2), " +
+      "i -> concat(element_at(split(text, ' '), i), ' ', " +
+      "element_at(split(text, ' '), i + 1), ' ', element_at(split(text, ' '), i + 2)))"
+    t("shingle3 explode+count")(docs
+      .selectExpr("doc_id", s"explode(array_distinct($sh3)) AS sh").count())
+    t("d02 full cold")(graft.queries.Dedup.queries("d02_lsh_pairs")(spark, d).count())
+    t("d02 full warm")(graft.queries.Dedup.queries("d02_lsh_pairs")(spark, d).count())
   }
 
   /** Sub-step timings for the iterative kg queries. */
