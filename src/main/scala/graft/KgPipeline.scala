@@ -38,16 +38,26 @@ object KgPipeline {
       finally stageCaches.foreach(_.unpersist(blocking = false))
     })
 
-  /** Drop every per-sf cached block (bench/verify hygiene). Checkpoint-
-    * backed caches (triples/edges/enriched/metrics) free their blocks via
-    * ContextCleaner once the references cleared here are GC'd, or at JVM
-    * exit; unpersist covers any persist-backed values.
+  /** Drop every per-sf cached block (bench/verify hygiene). The caches are
+    * checkpoint-backed (leaf plans), so Dataset.unpersist alone would be a
+    * no-op and reclamation would wait for driver GC; unpersist the
+    * checkpointed RDD behind each LogicalRDD leaf explicitly so blocks are
+    * freed deterministically between phases.
     */
+  private def freeCheckpointBlocks(ds: Dataset[_]): Unit = {
+    ds.unpersist(blocking = false) // covers any persist-backed value
+    ds.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+  }
+
   def release(): Unit = {
-    cache.values.foreach(_.unpersist(blocking = false))
-    edgeCache.values.foreach(_.unpersist(blocking = false))
-    enrichedCache.values.foreach(_.unpersist(blocking = false))
-    metricsCache.values.foreach(_.unpersist(blocking = false))
+    cache.values.foreach(freeCheckpointBlocks)
+    edgeCache.values.foreach(freeCheckpointBlocks)
+    enrichedCache.values.foreach(freeCheckpointBlocks)
+    metricsCache.values.foreach(freeCheckpointBlocks)
     cache.clear(); edgeCache.clear(); enrichedCache.clear(); metricsCache.clear()
   }
 
@@ -66,7 +76,17 @@ object KgPipeline {
     Ns.COY + "hasWikidataEventType",
     Ns.NIF + "subString", Ns.GN + "wikipediaArticle", Ns.GEO + "asWKT",
     Ns.SCHEMA + "name", Ns.owlSameAs, Ns.rdfType, Ns.rdfsLabel,
-    "http://www.wikidata.org/prop/direct/P31")
+    Ns.WDT + "P31")
+  private val EdgePredSet = EdgePreds.toSet
+
+  /** Names an edge-cache predicate; throws at query-construction time if it
+    * is not retained in the cache, so a missing entry in [[EdgePreds]] is an
+    * immediate error instead of a silent empty projection.
+    */
+  private def edgePred(pred: String): String = {
+    require(EdgePredSet.contains(pred), s"predicate not in the edge cache: $pred")
+    pred
+  }
 
   /** Date-deduped edges over the kg-query predicate set, cached per sf.
     * localCheckpoint (not persist): chain queries embed up to 8 copies of
@@ -93,7 +113,7 @@ object KgPipeline {
 
   // Q1: events per year (events_per_year.py:37-41)
   def kg02EventsPerYear(s: SparkSession, d: String): DataFrame = {
-    edges(s, d).filter(col("pred") === Ns.COY + "hasMentionDate" &&
+    edges(s, d).filter(col("pred") === edgePred(Ns.COY + "hasMentionDate") &&
         col("subj").startsWith(Ns.events))
       .select(col("subj"), substring(col("obj"), 1, 4).as("y"))
       .distinct()
@@ -104,9 +124,9 @@ object KgPipeline {
   // Q2: distinct topics per year (events_per_year.py:73-97)
   def kg03TopicsPerYear(s: SparkSession, d: String): DataFrame = {
     val t = edges(s, d)
-    val topicUris = t.filter(col("pred") === Ns.rdfType && col("obj") === Ns.COY + "TextTopic")
+    val topicUris = t.filter(col("pred") === edgePred(Ns.rdfType) && col("obj") === Ns.COY + "TextTopic")
       .select(col("subj"))
-    t.filter(col("pred") === Ns.COY + "hasMentionDate")
+    t.filter(col("pred") === edgePred(Ns.COY + "hasMentionDate"))
       .join(topicUris, Seq("subj"), "left_semi")
       .select(col("subj"), substring(col("obj"), 1, 4).as("y"))
       .distinct()
@@ -118,7 +138,7 @@ object KgPipeline {
   // month (create_events_per_month_diagram.py:31-38) — bounded iterative join
   def kg04ClosureEventsPerMonth(s: SparkSession, d: String): DataFrame = {
     val t = edges(s, d) // date-deduped once, shared across kg02-kg08
-    val during = t.filter(col("pred") === Ns.COY + "isOccuringDuring")
+    val during = t.filter(col("pred") === edgePred(Ns.COY + "isOccuringDuring"))
       .select(col("subj").as("child"), col("obj").as("parent"))
     // seed: the most-referenced parent topic (deterministic)
     val seed = during.groupBy(col("parent")).count()
@@ -140,7 +160,7 @@ object KgPipeline {
         it += 1
       }
     }
-    val eventDates = t.filter(col("pred") === Ns.COY + "hasMentionDate" &&
+    val eventDates = t.filter(col("pred") === edgePred(Ns.COY + "hasMentionDate") &&
         col("subj").startsWith(Ns.events))
       .select(col("subj").as("node"), substring(col("obj"), 1, 7).as("ym"))
     eventDates.join(reach, Seq("node"), "left_semi")
@@ -154,7 +174,7 @@ object KgPipeline {
     // joining duplicated edge sets multiplies quadratically — all
     // projections come from the shared date-deduped edge cache
     val t = edges(s, d)
-    def p(pred: String) = t.filter(col("pred") === pred)
+    def p(pred: String) = t.filter(col("pred") === edgePred(pred))
       .select(col("subj"), col("obj"))
     val evCtx = p(Ns.COY + "isIdentifiedBy").select(col("subj").as("event"), col("obj").as("ctx"))
     val ctxSent = p(Ns.NIF + "subString").select(col("subj").as("ctx"), col("obj").as("sent"))
@@ -193,9 +213,9 @@ object KgPipeline {
     // the shared edge cache is already (subj, pred, obj)-distinct, so each
     // fixed-predicate projection below is unique per (subj, obj)
     val t = edges(s, d)
-    val topics = t.filter(col("pred") === Ns.rdfType && col("obj") === Ns.COY + "TextTopic")
+    val topics = t.filter(col("pred") === edgePred(Ns.rdfType) && col("obj") === Ns.COY + "TextTopic")
       .select(col("subj").as("topic"))
-    val articleTopics = t.filter(col("pred") === Ns.rdfType && col("obj") === Ns.COY + "ArticleTopic")
+    val articleTopics = t.filter(col("pred") === edgePred(Ns.rdfType) && col("obj") === Ns.COY + "ArticleTopic")
       .select(col("subj").as("topic"))
     val pureText = topics.join(articleTopics, Seq("topic"), "left_anti")
     // prefix-prune to topic subjects: these predicates span the whole KG
@@ -203,22 +223,22 @@ object KgPipeline {
     val isTopicUri = col("subj").startsWith(Ns.articleTopics) ||
       col("subj").startsWith(Ns.textTopics)
     // ArticleTopic branch: topic —gn:wikipediaArticle→ article —schema:name→ l
-    val wpArt = t.filter(col("pred") === Ns.GN + "wikipediaArticle" && isTopicUri)
+    val wpArt = t.filter(col("pred") === edgePred(Ns.GN + "wikipediaArticle") && isTopicUri)
       .select(col("subj").as("topic"), col("obj").as("art"))
-    val artNames = t.filter(col("pred") === Ns.SCHEMA + "name" &&
+    val artNames = t.filter(col("pred") === edgePred(Ns.SCHEMA + "name") &&
         col("subj").startsWith(Ns.wikipediaArticle))
       .select(col("subj").as("art"), col("obj").as("label"))
     val articleLabels = articleTopics
       .join(wpArt, Seq("topic")).join(artNames, Seq("art"))
       .select(col("topic"), col("label"))
     // pure-TextTopic branch: own rdfs:label, FILTER NOT EXISTS ArticleTopic
-    val textLabels = t.filter(col("pred") === Ns.rdfsLabel && isTopicUri)
+    val textLabels = t.filter(col("pred") === edgePred(Ns.rdfsLabel) && isTopicUri)
       .select(col("subj").as("topic"), col("obj").as("label"))
       .join(pureText, Seq("topic"), "left_semi")
     val labels = articleLabels.unionByName(textLabels)
-    val parents = t.filter(col("pred") === Ns.COY + "isOccuringDuring" && isTopicUri)
+    val parents = t.filter(col("pred") === edgePred(Ns.COY + "isOccuringDuring") && isTopicUri)
       .select(col("subj").as("topic"), col("obj").as("parent"))
-    val dates = t.filter(col("pred") === Ns.COY + "hasMentionDate" && isTopicUri)
+    val dates = t.filter(col("pred") === edgePred(Ns.COY + "hasMentionDate") && isTopicUri)
       .select(col("subj").as("topic"), col("obj").as("dt"))
     topics
       .join(labels, Seq("topic"), "left")
@@ -237,9 +257,9 @@ object KgPipeline {
   // company_subclasses dim of FIXTURES.md §2).
   def kg07EventTypes(s: SparkSession, d: String): DataFrame = {
     val t = edges(s, d)
-    val types = t.filter(col("pred") === Ns.COY + "hasWikidataEventType")
+    val types = t.filter(col("pred") === edgePred(Ns.COY + "hasWikidataEventType"))
       .select(col("subj").as("event"), col("obj").as("wd_class"))
-    val labels = t.filter(col("pred") === Ns.rdfsLabel)
+    val labels = t.filter(col("pred") === edgePred(Ns.rdfsLabel))
       .select(col("subj").as("wd_class"), col("obj").as("class_label"))
     val company = Dicts.companySubclassesDs(s)
       .select(concat(lit(Ns.WD), col("value")).as("wd_class"), lit(1).as("is_company_subclass"))
@@ -258,7 +278,7 @@ object KgPipeline {
   // entities whose type is in the company-subclass closure.
   def kg11CompanyEntities(s: SparkSession, d: String): DataFrame = {
     val t = edges(s, d)
-    def p(pred: String) = t.filter(col("pred") === pred)
+    def p(pred: String) = t.filter(col("pred") === edgePred(pred))
       .select(col("subj"), col("obj"))
     val evCtx = p(Ns.COY + "isIdentifiedBy")
       .filter(col("subj").startsWith(Ns.events))
@@ -273,7 +293,7 @@ object KgPipeline {
     val sameAs = p(Ns.owlSameAs)
       .filter(col("subj").startsWith(Ns.wikipediaArticle))
       .select(col("subj").as("article"), col("obj").as("wd"))
-    val p31 = p("http://www.wikidata.org/prop/direct/P31")
+    val p31 = p(Ns.WDT + "P31")
       .select(col("subj").as("wd"), col("obj").as("tpe"))
     val company = Dicts.companySubclassesDs(s)
       .select(concat(lit(Ns.WD), col("value")).as("tpe"))
@@ -287,7 +307,7 @@ object KgPipeline {
   // Canonicalization: connected components over owl:sameAs (north rule) —
   // cluster table mapping every aliased entity to its canonical id.
   def kg08CanonicalClusters(s: SparkSession, d: String): DataFrame = {
-    val sameAs = edges(s, d).filter(col("pred") === Ns.owlSameAs)
+    val sameAs = edges(s, d).filter(col("pred") === edgePred(Ns.owlSameAs))
       .select(col("subj"), col("obj"))
     ConnectedComponents.run(sameAs)
       .withColumnRenamed("node", "entity")

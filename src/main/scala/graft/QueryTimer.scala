@@ -54,11 +54,18 @@ object QueryTimer {
         s"i -> md5(concat('s$k', substr(text, i, 8))))) AS mh$k")
     t("minhash 4 seeds over all docs")(
       docs.selectExpr(Seq("doc_id") ++ mh: _*).count())
-    val sh3 = "transform(sequence(1, size(split(text, ' ')) - 2), " +
-      "i -> concat(element_at(split(text, ' '), i), ' ', " +
-      "element_at(split(text, ' '), i + 1), ' ', element_at(split(text, ' '), i + 2)))"
-    t("shingle3 explode+count")(docs
+    // current d02 form: split once into toks, O(1) element_at inside the HOF
+    val sh3 = "transform(sequence(1, size(toks) - 2), " +
+      "i -> concat(element_at(toks, i), ' ', " +
+      "element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"
+    t("shingle3 explode+count (toks materialized, as d02 runs)")(docs
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
       .selectExpr("doc_id", s"explode(array_distinct($sh3)) AS sh").count())
+    // the pre-fix inline-split form, kept for comparison: no CSE across the
+    // lambda boundary, so every element re-splits the document (O(tokens²))
+    val sh3Inline = sh3.replace("toks", "split(text, ' ')")
+    t("shingle3 explode+count (inline split, pre-fix)")(docs
+      .selectExpr("doc_id", s"explode(array_distinct($sh3Inline)) AS sh").count())
     t("d02 full cold")(graft.queries.Dedup.queries("d02_lsh_pairs")(spark, d).count())
     t("d02 full warm")(graft.queries.Dedup.queries("d02_lsh_pairs")(spark, d).count())
   }

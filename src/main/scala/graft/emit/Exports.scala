@@ -51,7 +51,7 @@ object Exports {
     import graft.kg.Ns
     Seq(
       "coy" -> Ns.COY, "nif" -> Ns.NIF, "wgs" -> Ns.WGS, "geo" -> Ns.GEO,
-      "wd" -> Ns.WD, "wdt" -> "http://www.wikidata.org/prop/direct/",
+      "wd" -> Ns.WD, "wdt" -> Ns.WDT,
       "gn" -> Ns.GN, "schema" -> Ns.SCHEMA, "dcterms" -> Ns.DCTERMS,
       "rdf" -> Ns.RDF_, "rdfs" -> Ns.RDFS, "owl" -> Ns.OWL,
       "foaf" -> Ns.FOAF, "xsd" -> Ns.XSD,

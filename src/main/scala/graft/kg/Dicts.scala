@@ -73,11 +73,11 @@ object Dicts {
     val subj = Ns.WD + wd
     val s = h(29L, i.toLong)
     val p31 = p31ClassesFor(i).map(c =>
-      OnehopRow(subj, "http://www.wikidata.org/prop/direct/P31", Ns.WD + c, obj_is_iri = true, None, None))
+      OnehopRow(subj, Ns.WDT + "P31", Ns.WD + c, obj_is_iri = true, None, None))
     val extraN = if (i < 5) 40 else 2 + pick(4, s, 1)
     val extra = (0 until extraN).map { j =>
       val js = h(s, j.toLong)
-      val pred = s"http://www.wikidata.org/prop/direct/P${17 + pick(40, js, 1)}"
+      val pred = s"${Ns.WDT}P${17 + pick(40, js, 1)}"
       pick(10, js, 2) match {
         case k if k < 5 =>
           OnehopRow(subj, pred, Ns.WD + s"Q${100 + pick(5000, js, 3)}", obj_is_iri = true, None, None)

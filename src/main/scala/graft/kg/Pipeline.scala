@@ -148,9 +148,10 @@ object Pipeline {
     // Blocks are released when the frame becomes unreachable after
     // KgPipeline.release() drops the reference (ContextCleaner), or at JVM
     // exit.
-    val checkpointed = b.triples.localCheckpoint(true)
-    b.releaseCaches()
-    checkpointed
+    // finally: a failed checkpoint job must still release the stage caches
+    // (same failure-path hygiene as the other cache builders)
+    try b.triples.localCheckpoint(true)
+    finally b.releaseCaches()
   }
 
   /** A triple build plus the stage caches it holds (released by the caller

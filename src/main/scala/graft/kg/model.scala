@@ -121,6 +121,7 @@ object Ns {
   val WGS = "http://www.w3.org/2003/01/geo/wgs84_pos#"
   val GEO = "http://www.opengis.net/ont/geosparql#"
   val WD = "http://www.wikidata.org/entity/"
+  val WDT = "http://www.wikidata.org/prop/direct/"
   val GN = "https://www.geonames.org/ontology#"
   val SCHEMA = "https://schema.org/"
   val DCTERMS = "http://purl.org/dc/terms/"
