@@ -119,15 +119,45 @@ object TextAnalysis {
       |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_bow
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // BPE-ish token counting: the GPT-2-style pre-tokenizer shape — letter
+  // runs, digit runs, and single punctuation marks each count as one token
+  // (real BPE then merges within these pre-tokens, so this is the upper
+  // bound a tokenizer-cost estimate wants). The pattern uses only plain
+  // character classes + alternation, which Java regex (Spark) and RE2
+  // (DuckDB) match identically; bytes_per_token is the single-division
+  // training-cost metric.
+  private val bpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  def t05BpeTokens(s: SparkSession, d: String): DataFrame = {
+    val nBpe = s"CAST(size(regexp_extract_all(text, '$bpePattern', 0)) AS BIGINT)"
+    Tables.documents(s, d)
+      .selectExpr(
+        "doc_id",
+        "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens_ws",
+        s"$nBpe AS n_tokens_bpe",
+        s"CAST(octet_length(text) AS DOUBLE) / CAST(greatest($nBpe, CAST(1 AS BIGINT)) AS DOUBLE) AS bytes_per_token")
+      .orderBy(col("doc_id"))
+  }
+
+  val t05Sql: String =
+    s"""SELECT doc_id,
+       |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens_ws,
+       |  CAST(length(regexp_extract_all(text, '$bpePattern')) AS BIGINT) AS n_tokens_bpe,
+       |  CAST(octet_length(encode(text)) AS DOUBLE) /
+       |    CAST(greatest(length(regexp_extract_all(text, '$bpePattern')), 1) AS DOUBLE) AS bytes_per_token
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> (t01TokenStats _),
     "t02_quality_score" -> (t02QualityScore _),
     "t03_lang_id" -> (t03LangId _),
-    "t04_fingerprint" -> (t04Fingerprint _))
+    "t04_fingerprint" -> (t04Fingerprint _),
+    "t05_bpe_tokens" -> (t05BpeTokens _))
 
   val oracleSql: Map[String, String] = Map(
     "t01_token_stats" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t03_lang_id" -> t03Sql,
-    "t04_fingerprint" -> t04Sql)
+    "t04_fingerprint" -> t04Sql,
+    "t05_bpe_tokens" -> t05Sql)
 }
