@@ -34,16 +34,37 @@ object Bench {
     val t0k = System.nanoTime()
     KgPipeline.triples(spark, sfDir).count()
     val kgSecs = (System.nanoTime() - t0k) / 1e9
+    // Build the remaining SHARED caches before timing queries, each timed on
+    // its own line: r3's kg09-kg12 "regressions" were cache-build attribution
+    // (whichever query ran first in name order paid the shared edge/enriched/
+    // metrics build). With the builds hoisted, per-query numbers measure the
+    // query plan and stay comparable across rounds; the builds stay visible
+    // as their own entries instead of hiding inside one query.
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val cacheBuilds = Seq(
+      "cache_edges" -> timed(KgPipeline.edges(spark, sfDir).count()),
+      "cache_enriched" -> timed(KgPipeline.enriched(spark, sfDir).count()),
+      "cache_metrics" -> timed(KgPipeline.kg12MonthlyMetrics(spark, sfDir).count()))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = (cacheBuilds ++ results).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum + kgSecs
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""kg_docs":$docs,"kg_pipeline_sec":$kgSecs,"kg_docs_per_sec":${docs / kgSecs},"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum + cacheBuilds.map(_._2).sum + kgSecs
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""kg_docs":$docs,"kg_pipeline_sec":$kgSecs,"kg_docs_per_sec":${docs / kgSecs},"sf":"$sfDir"}"""
+    println(line)
+    // the driver archives only a 2000-char log tail (r3 lost the total that
+    // way) — also land the full line in the repo for round-over-round reads
+    try {
+      val dir = java.nio.file.Paths.get("BENCH")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(dir.resolve("bench_last.json"), line + "\n")
+    } catch { case _: Throwable => () }
     // cache hygiene: no lingering MEMORY_AND_DISK blocks after the bench
     KgPipeline.release()
     graft.queries.Dedup.release()

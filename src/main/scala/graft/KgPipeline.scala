@@ -14,7 +14,12 @@ import graft.canon.ConnectedComponents
   */
 object KgPipeline {
 
-  // cache the triple table per sf dir — queries share one pipeline run
+  // cache the triple table per (session, sf dir) — queries share one pipeline
+  // run. Keying by session identity too (ADVICE r3): a cached DataFrame is
+  // bound to the SparkSession that built it, so a restarted session must
+  // rebuild instead of receiving stale frames that fail at execution.
+  private def ck(spark: SparkSession, sfDir: String): String =
+    System.identityHashCode(spark).toString + ":" + sfDir
   private val cache = scala.collection.concurrent.TrieMap.empty[String, Dataset[Triple]]
   // one shared date-deduped (subj, pred, obj) edge projection: article-derived
   // triples repeat once per mention date (partition key), so every graph-shaped
@@ -28,13 +33,13 @@ object KgPipeline {
   private val metricsCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   def triples(spark: SparkSession, sfDir: String): Dataset[Triple] =
-    cache.getOrElseUpdate(sfDir, Pipeline.materializedTriples(spark, sfDir))
+    cache.getOrElseUpdate(ck(spark, sfDir), Pipeline.materializedTriples(spark, sfDir))
 
   /** Enriched articles, cached per sf (one enrichment job for kg10/kg12). */
   def enriched(spark: SparkSession, sfDir: String): Dataset[EnrichedArticle] =
-    enrichedCache.getOrElseUpdate(sfDir, {
+    enrichedCache.getOrElseUpdate(ck(spark, sfDir), {
       val (e, stageCaches) = Pipeline.enrichedArticlesTracked(spark, Synth.paramsFor(sfDir))
-      try e.localCheckpoint(true) // eager materialization + leaf plan
+      try graft.plans.Caches.leaf(e) // eager materialization + leaf plan
       finally stageCaches.foreach(_.unpersist(blocking = false))
     })
 
@@ -94,11 +99,10 @@ object KgPipeline {
     * analysis O(query), not O(copies × lineage) — see materializedTriples.
     */
   def edges(spark: SparkSession, sfDir: String): DataFrame =
-    edgeCache.getOrElseUpdate(sfDir, {
-      triples(spark, sfDir)
+    edgeCache.getOrElseUpdate(ck(spark, sfDir), {
+      graft.plans.Caches.leaf(triples(spark, sfDir)
         .filter(col("pred").isin(EdgePreds: _*))
-        .select(col("subj"), col("pred"), col("obj")).distinct()
-        .localCheckpoint(true)
+        .select(col("subj"), col("pred"), col("obj")).distinct())
     })
 
   /** Flagship: full pipeline at tiny scale — returns the triple DataFrame. */
@@ -320,14 +324,7 @@ object KgPipeline {
   // (the engine's P14 classifier) against the synthetic corpus' intent label,
   // aggregated to precision/recall/accuracy ×1e6 (exact integer arithmetic).
   def kg10LocationEval(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val p = Synth.paramsFor(d)
-    val labeled = s.range(p.articles).map { i =>
-      val a = Synth.article(p, i.toInt)
-      // ground truth: the generator's location intent (the "hand label")
-      val intended = Synth.isLocationIntent(i.toInt)
-      (a.url, intended, a.exists && !a.isNamespace)
-    }.toDF("url", "labeled", "resolvable")
+    val labeled = labeledLocations(s, d)
     val predicted = enriched(s, d)
       .select(col("url"), col("locationFlag").as("predicted"))
     labeled.filter(col("resolvable"))
@@ -349,17 +346,34 @@ object KgPipeline {
   // articleExtractor.py:50-63). One day-side parse pass + one broadcast-
   // joined article pass, rolled up per month.
   def kg12MonthlyMetrics(s: SparkSession, d: String): DataFrame =
-    metricsCache.getOrElseUpdate(d, {
+    metricsCache.getOrElseUpdate(ck(s, d), {
       val (raw, perDay) = kg12MonthlyMetricsUncached(s, d)
       // eager leaf materialization; kg13's window reads blocks, not a re-run
-      try raw.localCheckpoint(true)
+      try graft.plans.Caches.leaf(raw)
       finally perDay.unpersist(blocking = false)
     })
 
-  private def kg12MonthlyMetricsUncached(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  /** kg10's ground-truth table (generator location intent per article) —
+    * public so graft.Verify can dump it as a DuckDB oracle input.
+    */
+  def labeledLocations(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val p = Synth.paramsFor(d)
-    val perDay = Pipeline.dayDocs(s, p).map { doc =>
+    s.range(p.articles).map { i =>
+      val a = Synth.article(p, i.toInt)
+      // ground truth: the generator's location intent (the "hand label")
+      val intended = Synth.isLocationIntent(i.toInt)
+      (a.url, intended, a.exists && !a.isNamespace)
+    }.toDF("url", "labeled", "resolvable")
+  }
+
+  /** kg12's per-day parse counters + requested hrefs — public (unpersisted)
+    * so graft.Verify can dump it as a DuckDB oracle input.
+    */
+  def kg12PerDay(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = Synth.paramsFor(d)
+    Pipeline.dayDocs(s, p).map { doc =>
       val (events, topics, refs) = DayPageParser.parse(doc)
       val ym = doc.doc_id.stripPrefix("day:").take(7)
       // every event-sentence/topic link is one get_article request; the LRU
@@ -373,6 +387,10 @@ object KgPipeline {
         topics.count(_.linkHref.isEmpty).toLong, hrefs)
     }.toDF("ym", "n_events", "n_topics", "n_sentences", "n_references",
       "n_events_with_refs", "n_event_links", "n_linkless_topics", "hrefs")
+  }
+
+  private def kg12MonthlyMetricsUncached(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val perDay = kg12PerDay(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val monthly = perDay.groupBy(col("ym")).agg(
       count(lit(1)).as("n_days"),
@@ -489,5 +507,8 @@ object KgPipeline {
     "kg12_monthly_metrics" -> (kg12MonthlyMetrics _),
     "kg13_hit_ratio_window" -> (kg13HitRatioWindow _))
 
-  def oracleSql: Map[String, String] = Map()
+  /** DuckDB oracle SQL per kg query — over the intermediate tables
+    * graft.Verify dumps to `<outDir>/_oracle_aux/` (see [[KgOracles]]).
+    */
+  def oracleSql: Map[String, String] = KgOracles.sql
 }

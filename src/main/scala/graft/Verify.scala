@@ -24,6 +24,13 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // kg oracle inputs: the pipeline's intermediate tables, dumped AFTER the
+    // queries so the shared caches are warm (KgOracles scaladoc has the why)
+    val auxDir = new java.io.File(s"$outDir/_oracle_aux").getAbsolutePath
+    try KgOracles.dumpAux(spark, sfDir, auxDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] oracle aux dump failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -36,8 +43,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // `{AUX}` → the absolute aux-dump path: the driver's DuckDB runs with an
+    // unknown cwd, so the oracle SQL must carry absolute read_parquet paths
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{AUX}", auxDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     KgPipeline.release()
     graft.queries.Dedup.release()

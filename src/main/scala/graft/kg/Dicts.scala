@@ -123,6 +123,19 @@ object Dicts {
     (0 until n).map(j => Ns.WD + wdIdOf(zipf(nArticles, s, 2, j.toLong))).distinct
   }
 
+  /** The dbpedia half of the same Falcon 2.0 response
+    * (falcon2Service.py:72-74): carried on the location row
+    * (objects/infoboxRow.py:17-22) for row-model parity; like the reference,
+    * never emitted to RDF (outputRdf.py has no consumer).
+    */
+  def falconDbpediaFor(nArticles: Int, text: String): Seq[String] = {
+    val s = h(43L, text.hashCode.toLong)
+    val n = pick(3, s, 1) // 0-2 entities, independent of the wd list
+    (0 until n)
+      .map(j => "http://dbpedia.org/resource/Entity_" + zipf(nArticles, s, 2, j.toLong))
+      .distinct
+  }
+
   // ---- distributed dictionary Datasets (the production join inputs) -------
   // Built task-side from the deterministic generator — the Spark-native
   // stand-in for `spark.read.parquet(dict_table)`. One row per wd entity /

@@ -27,6 +27,7 @@ case class EnrichedArticle(
     locValue: Option[String],
     locLinkWkts: Seq[LocLinkWkt],
     falconEntityUris: Seq[String],
+    falconDbpediaUris: Seq[String], // row-model parity (infoboxRow.py:17-22); not emitted to RDF
     classes: Seq[ClassLabel],
     parentLocUris: Seq[String],
     osmElements: Seq[KOsmElement],
@@ -57,6 +58,7 @@ case class PreEnriched(
     locValue: Option[String],
     locLinkWkts: Seq[LocLinkWkt],
     falconEntityUris: Seq[String], // J5/J7 join input
+    falconDbpediaUris: Seq[String], // carried only (infoboxRow.py:17-22)
     timeRows: Seq[IbTimeRow],
     dateRows: Seq[IbDateRow],
     nTimeParseErrors: Int,
@@ -117,8 +119,10 @@ object Enrich {
       locLinks.flatMap(l => Dicts.nominatimFor(l.text)).map(e => LocLinkWkt(e.osmId, e.osmType, e.wkt))
     else Nil
 
-    // J5 Falcon2 on the raw location value text
+    // J5 Falcon2 on the raw location value text (one response carries both
+    // the wikidata and the dbpedia entity lists, falcon2Service.py:72-74)
     val falconEntities = locValue.toSeq.flatMap(v => Dicts.falconEntitiesFor(nArticles, v))
+    val falconDbpedia = locValue.toSeq.flatMap(v => Dicts.falconDbpediaFor(nArticles, v))
 
     // loc-row link children candidates (articleExtractor.py:546-550); the
     // existence/flag filters are dictionary joins downstream
@@ -143,6 +147,7 @@ object Enrich {
       locValue = locValue,
       locLinkWkts = locLinkWkts,
       falconEntityUris = falconEntities,
+      falconDbpediaUris = falconDbpedia,
       timeRows = timeRows,
       dateRows = dateRows,
       nTimeParseErrors = timeErrs,
@@ -168,6 +173,7 @@ object Enrich {
       locValue = pre.locValue,
       locLinkWkts = pre.locLinkWkts,
       falconEntityUris = pre.falconEntityUris,
+      falconDbpediaUris = pre.falconDbpediaUris,
       classes = classes,
       parentLocUris = parentLocUris,
       osmElements = osmElements,

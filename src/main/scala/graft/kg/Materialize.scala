@@ -55,10 +55,23 @@ object Materialize {
       .map { case (y, m, d) => f"$y%04d-$m%02d-$d%02d" }
 
   /** Run (or resume) the materialization. Returns committed partition count.
+    *
+    * Failure policy (reference __main__.py:297-317): a month whose build or
+    * commit throws is SKIPPED and remembered in the table's unparsed-months
+    * log (the `unparsed_months` analogue), and the loop continues — one
+    * poisoned partition must cost one partition, not the whole backfill.
+    * Skipped months stay uncommitted, so the next run retries them (and the
+    * log records every attempt). `crashOnError` restores the reference's
+    * `-coe` crash-immediately behavior.
+    *
     * @param maxMonths stop after this many months (for kill/restart tests)
+    * @param crashOnError rethrow the first month failure instead of skipping
+    * @param buildFn the month build (injectable: specs poison one month)
     */
   def run(spark: SparkSession, sfDir: String, table: String,
-      maxMonths: Int = Int.MaxValue): Int = {
+      maxMonths: Int = Int.MaxValue, crashOnError: Boolean = false,
+      buildFn: (SparkSession, Synth.Params, Set[String]) => Pipeline.Build =
+        (s, p, dates) => Pipeline.trackedBuild(s, p, Some(dates))): Int = {
     val p = Synth.paramsFor(sfDir)
     var committed = 0
     var monthsDone = 0
@@ -66,12 +79,22 @@ object Materialize {
     // times its sequential month/day loop; the Spark analogues are the
     // month's wall clock and its summed executor task time (the distributed
     // equivalent of "time spent processing this month's days"), recorded in
-    // the same manifest commit as the month's lineage counters.
+    // the same manifest commit as the month's lineage counters. Only tasks of
+    // jobs in THIS run's job group are counted, so concurrent work on the
+    // same SparkContext cannot inflate month_task_ms.
+    val jobGroup = s"graft-materialize-${System.nanoTime()}"
     val taskMs = new java.util.concurrent.atomic.LongAdder
+    val groupStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (js.properties != null &&
+            jobGroup == js.properties.getProperty("spark.jobGroup.id"))
+          js.stageIds.foreach(groupStages.add(_))
       override def onTaskEnd(
           te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (te.taskInfo != null) taskMs.add(te.taskInfo.duration)
+        if (te.taskInfo != null && groupStages.contains(te.stageId))
+          taskMs.add(te.taskInfo.duration)
     }
     // listener events arrive asynchronously on the bus; by read time every
     // task has ENDED (the write action returned), only delivery lags — wait
@@ -87,6 +110,7 @@ object Materialize {
       cur
     }
     spark.sparkContext.addSparkListener(listener)
+    spark.sparkContext.setJobGroup(jobGroup, "graft materialize", false)
     try {
       for (year <- p.year until (p.year + p.years);
            month <- 1 to p.months if monthsDone < maxMonths) {
@@ -94,27 +118,39 @@ object Materialize {
         val dates = datesOfMonth(p, year, month)
         val todo = TableIO.uncommitted(table, dates)
         if (todo.nonEmpty) {
-          val t0 = System.nanoTime
+          // settle BEFORE starting the wall clock, so the up-to-2s delivery
+          // poll of the previous month is not billed to this one
           val task0 = settledTaskMs()
-          val b = Pipeline.trackedBuild(spark, p, Some(todo.toSet))
-          TableIO.replacePartitions(spark, table, b.triples.toDF(), "event_date",
-            todo, metricsFn = slice => {
-              // called post-write: wall/task cover build + write of the month
-              val wallMs = math.max(1L, (System.nanoTime - t0) / 1000000L)
-              val monthTaskMs = math.max(0L, settledTaskMs() - task0)
-              val timing = Map(
-                "month_wall_ms" -> wallMs,
-                "month_task_ms" -> monthTaskMs,
-                "avg_day_wall_ms" -> wallMs / todo.size,
-                "avg_day_task_ms" -> monthTaskMs / todo.size)
-              lineageMetrics(slice, b.articleErrorsByDate)
-                .map { case (k, mm) => k -> (mm ++ timing) }
-            })
-          b.releaseCaches() // month committed
-          committed += todo.size
+          val t0 = System.nanoTime
+          try {
+            val b = buildFn(spark, p, todo.toSet)
+            try {
+              TableIO.replacePartitions(spark, table, b.triples.toDF(), "event_date",
+                todo, metricsFn = slice => {
+                  // called post-write: wall/task cover build + write of the month
+                  val wallMs = math.max(1L, (System.nanoTime - t0) / 1000000L)
+                  val monthTaskMs = math.max(0L, settledTaskMs() - task0)
+                  val timing = Map(
+                    "month_wall_ms" -> wallMs,
+                    "month_task_ms" -> monthTaskMs,
+                    "avg_day_wall_ms" -> wallMs / todo.size,
+                    "avg_day_task_ms" -> monthTaskMs / todo.size)
+                  lineageMetrics(slice, b.articleErrorsByDate)
+                    .map { case (k, mm) => k -> (mm ++ timing) }
+                })
+              committed += todo.size
+            } finally b.releaseCaches() // committed OR failed: drop the blocks
+          } catch {
+            case e: Throwable if !crashOnError =>
+              TableIO.recordUnparsed(table, f"$year%04d-$month%02d",
+                Option(e.getMessage).getOrElse(e.getClass.getName))
+          }
         }
       }
-    } finally spark.sparkContext.removeSparkListener(listener)
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
     committed
   }
 }

@@ -150,7 +150,8 @@ object Pipeline {
     // exit.
     // finally: a failed checkpoint job must still release the stage caches
     // (same failure-path hygiene as the other cache builders)
-    try b.triples.localCheckpoint(true)
+    // (graft.plans.Caches: reliable checkpoint under graft.cache.reliable)
+    try graft.plans.Caches.leaf(b.triples)
     finally b.releaseCaches()
   }
 

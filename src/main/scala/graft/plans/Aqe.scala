@@ -37,7 +37,13 @@ object Aqe {
     // session-wide width (or AQE coalescing) is the right answer.
     val kp = "spark.sql.shuffle.partitions"
     val lock = lockFor(spark)
-    lock.lock()
+    // tryLock with a timeout: `f` can run long, and a cross-thread wait
+    // cycle (this thread holds lock X and waits on a thread needing X)
+    // must degrade, not deadlock. On timeout, run WITHOUT the conf swap —
+    // AQE stays as-is for this window (a perf-only effect), correctness is
+    // unaffected.
+    val locked = lock.tryLock(60, java.util.concurrent.TimeUnit.SECONDS)
+    if (!locked) return f
     try {
       val prev = spark.conf.getOption(k)
       val loopParts = spark.conf.getOption("graft.loop.shufflePartitions")

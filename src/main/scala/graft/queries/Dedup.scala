@@ -335,9 +335,12 @@ object Dedup {
     // the dense-vector side is a narrow (doc_id, 64×BIGINT) projection —
     // broadcast below the size gate (same pattern as the one-hop join's
     // conf-gated fallback); oversize corpora fall back to a shuffle join on
-    // the pair keys, which co-partitions with cand's distinct
+    // the pair keys, which co-partitions with cand's distinct. Default gate
+    // 100k docs: each row is ~0.5 KB (64×8 B vector + norm), so 100k ≈ 50 MB
+    // materialized per broadcast side — 1M rows would be ~0.5-1 GB and risk
+    // driver OOM long before the row gate fires.
     val bcMax = s.conf.getOption("graft.d06.broadcast.maxDocs")
-      .map(_.toLong).getOrElse(1000000L)
+      .map(_.toLong).getOrElse(100000L)
     def side(n: String, vn: String, nn: String) = {
       val v = vecs.select(col("doc_id").as(n), col("v").as(vn), col("n2").as(nn))
       if (nDocs <= bcMax) broadcast(v) else v

@@ -97,6 +97,34 @@ class EmitSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"extra: ${extra.take(5)}")
   }
 
+  test("parent-location golden: linked place isLocatedIn its parent, no reflexive link (outputRdf.py:540-557)") {
+    val cityUrl = "https://en.wikipedia.org/wiki/CityX"
+    val countryUrl = "https://en.wikipedia.org/wiki/CountryZ"
+    val townUrl = "https://en.wikipedia.org/wiki/TownY"
+    val links = Seq(
+      KLink(cityUrl, "CityX", 11, 16, external = false),
+      KLink(countryUrl, "CountryZ", 20, 28, external = false),
+      KLink(townUrl, "TownY", 33, 38, external = false))
+    val text = "Quake hits CityX in CountryZ and TownY. "
+    val e = mkEvent.copy(text = text,
+      sentences = Seq(KSentence(text, 0, 40, links)), links = links)
+    // CityX's parents: its own wd (reflexive — excluded), CountryZ's wd
+    // (located article in the same event — linked), TownY's wd (linked in
+    // the event but NOT location-flagged — excluded), Q777 (not in the
+    // event at all — excluded)
+    val city = Emit.ArtLite(cityUrl, Some(Ns.WD + "Q205"), locationFlag = true,
+      parentLocUris = Seq(Ns.WD + "Q205", Ns.WD + "Q999", Ns.WD + "Q555", Ns.WD + "Q777"))
+    val country = Emit.ArtLite(countryUrl, Some(Ns.WD + "Q999"),
+      locationFlag = true, parentLocUris = Nil)
+    val town = Emit.ArtLite(townUrl, Some(Ns.WD + "Q555"),
+      locationFlag = false, parentLocUris = Nil)
+    val got = Emit.eventTriples(e, Map(0L -> topicInfo),
+      Map(cityUrl -> city, countryUrl -> country, townUrl -> town)).toSet
+    val located = got.filter(_.pred == Ns.COY + "isLocatedIn")
+    assert(located == Set(Triple("base", Uris.placeUri(cityUrl),
+      Ns.COY + "isLocatedIn", Uris.placeUri(countryUrl), true, null, null, d)))
+  }
+
   private def mkArticle(url: String): EnrichedArticle = EnrichedArticle(
     url = url,
     name = Some("City X"), headline = Some("About City X"),
@@ -108,6 +136,7 @@ class EmitSpec extends AnyFunSuite {
     locLabel = Some("Location"), locValue = Some("Region 7"),
     locLinkWkts = Seq(LocLinkWkt(42L, "way", "POINT(1.0 2.0)")),
     falconEntityUris = Nil,
+    falconDbpediaUris = Nil,
     classes = Seq(ClassLabel("Q7", "instance class 7")),
     parentLocUris = Nil,
     osmElements = Seq(KOsmElement(62422L, "relation", "POINT(3.0 4.0)")),

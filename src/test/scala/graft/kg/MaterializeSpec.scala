@@ -70,6 +70,51 @@ class MaterializeSpec extends AnyFunSuite {
     assert(TableIO.currentManifest(table).snapshotId == snap.snapshotId)
   }
 
+  test("skip-and-remember: a poisoned month is skipped, logged, and retried next run") {
+    val table = Files.createTempDirectory("graft_triples_poison").toString
+    val boom: (SparkSession, Synth.Params, Set[String]) => Pipeline.Build =
+      (s, p, dates) =>
+        if (dates.exists(_.startsWith("2022-01")))
+          throw new RuntimeException("poisoned month")
+        else Pipeline.trackedBuild(s, p, Some(dates))
+    // January fails, February must still commit (reference __main__.py:297-317)
+    val c1 = Materialize.run(spark, sfDir, table, buildFn = boom)
+    assert(c1 == 28)
+    assert(TableIO.currentManifest(table).partitions.keySet.forall(_.startsWith("2022-02")))
+    val skipped = TableIO.unparsedMonths(table)
+    assert(skipped.map(_._1) == Seq("2022-01"))
+    assert(skipped.head._2.contains("poisoned"))
+    // -coe analogue: crashOnError rethrows instead of skipping
+    intercept[RuntimeException] {
+      Materialize.run(spark, sfDir, table, crashOnError = true, buildFn = boom)
+    }
+    // a later healthy run retries ONLY the skipped month (Feb stays committed)
+    val c2 = Materialize.run(spark, sfDir, table)
+    assert(c2 == 31)
+    assert(TableIO.currentManifest(table).partitions.size == 59)
+  }
+
+  test("salted writes: hot partitions spread over >1 file, manifest counts honest") {
+    val table = Files.createTempDirectory("graft_triples_salt").toString
+    spark.conf.set("graft.write.tasksPerPartition", "4")
+    try {
+      val someDate = "2022-01-05"
+      val t = Pipeline.triples(spark, sfDir, Some(Set(someDate)))
+      val m = TableIO.replacePartitions(spark, table, t.toDF(), "event_date", Seq(someDate))
+      val meta = m.partitions(someDate)
+      val dir = java.nio.file.Paths.get(table, "data", s"event_date=$someDate")
+      val s = Files.list(dir)
+      val actual = try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.count(_.toString.endsWith(".parquet"))
+      } finally s.close()
+      assert(meta.files == actual, "manifest file count must match the layout")
+      assert(meta.files > 1, s"hot date should spread over >1 salt bucket, got ${meta.files}")
+      // the salted exchange changes layout only — not content
+      assert(TableIO.read(spark, table, "event_date").count() == meta.rows)
+    } finally spark.conf.unset("graft.write.tasksPerPartition")
+  }
+
   test("REPLACE WHERE rewrites exactly the targeted partition") {
     val table = Files.createTempDirectory("graft_triples3").toString
     Materialize.run(spark, sfDir, table, maxMonths = 1)

@@ -115,6 +115,44 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("enriched rows carry the falcon2 dbpedia entities (infoboxRow.py:17-22 parity)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val p = Synth.paramsFor(sfDir)
+    val (e, caches) = Pipeline.enrichedArticlesTracked(spark, p)
+    val rows = e.collect()
+    caches.foreach(_.unpersist(blocking = false))
+    // the dbpedia half of the falcon2 response rides the location row through
+    // the distributed path exactly as generated (and, like the reference,
+    // only articles WITH a location value carry any)
+    rows.foreach { a =>
+      val expected = a.locValue.toSeq.flatMap(v => Dicts.falconDbpediaFor(p.articles, v))
+      assert(a.falconDbpediaUris == expected, s"at ${a.url}")
+    }
+    assert(rows.exists(_.falconDbpediaUris.nonEmpty))
+    assert(rows.flatMap(_.falconDbpediaUris)
+      .forall(_.startsWith("http://dbpedia.org/resource/")))
+  }
+
+  test("reliable-checkpoint cache path emits the same triple set as localCheckpoint") {
+    val sfDir = "/root/testdata/sf0.001"
+    val localPath = Pipeline.materializedTriples(spark, sfDir).collect().toSet
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_reliable_ck").toString
+    spark.conf.set("graft.cache.reliable", "true")
+    spark.conf.set("graft.cache.checkpointDir", ckDir)
+    try {
+      val reliable = Pipeline.materializedTriples(spark, sfDir)
+      // a reliable checkpoint actually landed on disk (survives executor
+      // loss); getOrCreate shares one SparkContext across suites, so only
+      // assert a checkpoint dir exists and holds data
+      val dir = spark.sparkContext.getCheckpointDir
+      assert(dir.nonEmpty)
+      assert(reliable.collect().toSet == localPath)
+    } finally {
+      spark.conf.unset("graft.cache.reliable")
+      spark.conf.unset("graft.cache.checkpointDir")
+    }
+  }
+
   test("all four graph modules are populated, osm > base per-article shape") {
     val sfDir = "/root/testdata/sf0.001"
     val counts = Pipeline.triples(spark, sfDir)
