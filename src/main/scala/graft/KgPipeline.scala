@@ -20,24 +20,34 @@ object KgPipeline {
   // rebuild instead of receiving stale frames that fail at execution.
   private def ck(spark: SparkSession, sfDir: String): String =
     System.identityHashCode(spark).toString + ":" + sfDir
-  private val cache = scala.collection.concurrent.TrieMap.empty[String, Dataset[Triple]]
+  // ConcurrentHashMap.computeIfAbsent, not TrieMap.getOrElseUpdate: the
+  // latter can evaluate the builder twice under concurrent first calls and
+  // leak the losing builder's materialized blocks. (The builders call into
+  // DIFFERENT maps only — edges→triples, metrics→enriched/triples — so no
+  // same-map reentrancy.)
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Dataset[Triple]]()
   // one shared date-deduped (subj, pred, obj) edge projection: article-derived
   // triples repeat once per mention date (partition key), so every graph-shaped
   // query (kg02-kg08) needs the same distinct — run the shuffle ONCE, not per
   // query. Derived predicates of this cache are unique per (subj, obj).
-  private val edgeCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val edgeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   // kg10/kg12/kg13 all need the enriched-article frame and kg13 needs kg12's
   // metrics table — cache both per sf dir so the enrichment dataflow runs
   // once across the three queries instead of three times
-  private val enrichedCache = scala.collection.concurrent.TrieMap.empty[String, Dataset[EnrichedArticle]]
-  private val metricsCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val enrichedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Dataset[EnrichedArticle]]()
+  private val metricsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   def triples(spark: SparkSession, sfDir: String): Dataset[Triple] =
-    cache.getOrElseUpdate(ck(spark, sfDir), Pipeline.materializedTriples(spark, sfDir))
+    cache.computeIfAbsent(ck(spark, sfDir),
+      _ => Pipeline.materializedTriples(spark, sfDir))
 
   /** Enriched articles, cached per sf (one enrichment job for kg10/kg12). */
   def enriched(spark: SparkSession, sfDir: String): Dataset[EnrichedArticle] =
-    enrichedCache.getOrElseUpdate(ck(spark, sfDir), {
+    enrichedCache.computeIfAbsent(ck(spark, sfDir), _ => {
       val (e, stageCaches) = Pipeline.enrichedArticlesTracked(spark, Synth.paramsFor(sfDir))
       try graft.plans.Caches.leaf(e) // eager materialization + leaf plan
       finally stageCaches.foreach(_.unpersist(blocking = false))
@@ -59,10 +69,10 @@ object KgPipeline {
   }
 
   def release(): Unit = {
-    cache.values.foreach(freeCheckpointBlocks)
-    edgeCache.values.foreach(freeCheckpointBlocks)
-    enrichedCache.values.foreach(freeCheckpointBlocks)
-    metricsCache.values.foreach(freeCheckpointBlocks)
+    cache.values.forEach(freeCheckpointBlocks(_))
+    edgeCache.values.forEach(freeCheckpointBlocks(_))
+    enrichedCache.values.forEach(freeCheckpointBlocks(_))
+    metricsCache.values.forEach(freeCheckpointBlocks(_))
     cache.clear(); edgeCache.clear(); enrichedCache.clear(); metricsCache.clear()
   }
 
@@ -99,11 +109,10 @@ object KgPipeline {
     * analysis O(query), not O(copies × lineage) — see materializedTriples.
     */
   def edges(spark: SparkSession, sfDir: String): DataFrame =
-    edgeCache.getOrElseUpdate(ck(spark, sfDir), {
+    edgeCache.computeIfAbsent(ck(spark, sfDir), _ =>
       graft.plans.Caches.leaf(triples(spark, sfDir)
         .filter(col("pred").isin(EdgePreds: _*))
-        .select(col("subj"), col("pred"), col("obj")).distinct())
-    })
+        .select(col("subj"), col("pred"), col("obj")).distinct()))
 
   /** Flagship: full pipeline at tiny scale — returns the triple DataFrame. */
   def entry(spark: SparkSession, sfDir: String): DataFrame =
@@ -346,7 +355,7 @@ object KgPipeline {
   // articleExtractor.py:50-63). One day-side parse pass + one broadcast-
   // joined article pass, rolled up per month.
   def kg12MonthlyMetrics(s: SparkSession, d: String): DataFrame =
-    metricsCache.getOrElseUpdate(ck(s, d), {
+    metricsCache.computeIfAbsent(ck(s, d), _ => {
       val (raw, perDay) = kg12MonthlyMetricsUncached(s, d)
       // eager leaf materialization; kg13's window reads blocks, not a re-run
       try graft.plans.Caches.leaf(raw)

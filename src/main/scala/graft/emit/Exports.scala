@@ -162,6 +162,17 @@ object Exports {
       outDir: String, prefix: String): Seq[String] = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
+    // driver-OOM guard: this method collects every rendered node; a caller
+    // pointing it at a big slice must use the distributed text sink instead.
+    // The limit is rows (cheap to count off the cached frame) — ~200 B/row
+    // keeps the default well under a few GiB of driver heap.
+    val maxRows = spark.conf
+      .get("graft.export.maxDriverRows", "5000000").toLong
+    val n = triples.count()
+    require(n <= maxRows,
+      s"saveMonthGraphs is a driver-local single-file export: $n rows > " +
+        s"graft.export.maxDriverRows=$maxRows — use toNTriples(...).write.text " +
+        "for cluster-scale slices, or raise the conf knowingly")
     Files.createDirectories(Paths.get(outDir))
     val modules = triples.select(col("graph_module")).distinct()
       .collect().map(_.getString(0)).sorted

@@ -76,11 +76,15 @@ object Dedup {
   private case class Prologue(groups: DataFrame,
       groupPairs: DataFrame, sigs: DataFrame)
 
+  // ConcurrentHashMap.computeIfAbsent, not TrieMap.getOrElseUpdate: the
+  // latter can run the builder twice under concurrent first calls, and the
+  // losing builder's persisted blocks would leak. Keyed by session identity
+  // too — a frame from a dead/restarted session must not be served.
   private val prologueCache =
-    scala.collection.concurrent.TrieMap.empty[String, Prologue]
+    new java.util.concurrent.ConcurrentHashMap[String, Prologue]()
 
   private def prologue(s: SparkSession, d: String): Prologue =
-    prologueCache.getOrElseUpdate(d, {
+    prologueCache.computeIfAbsent(System.identityHashCode(s) + ":" + d, _ => {
       val docs = Tables.documents(s, d)
         .filter(size(split(col("text"), " ")) >= 3)
       val groups = docs.selectExpr("doc_id", s"$bowFp AS fp")
@@ -108,7 +112,7 @@ object Dedup {
 
   /** Drop the cached LSH prologue blocks (bench/verify hygiene). */
   def release(): Unit = {
-    prologueCache.values.foreach { p =>
+    prologueCache.values.forEach { p =>
       p.sigs.unpersist(blocking = false)
       p.groups.unpersist(blocking = false)
     }

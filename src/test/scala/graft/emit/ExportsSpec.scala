@@ -61,6 +61,21 @@ class ExportsSpec extends AnyFunSuite {
     assert(ttl == golden)
   }
 
+  test("saveMonthGraphs refuses oversize slices (driver-OOM guard)") {
+    import spark.implicits._
+    val ts = Seq(
+      Triple("base", "http://s1", "http://p", "a", false, Ns.xsdString, null, "2022-01-01"),
+      Triple("base", "http://s2", "http://p", "b", false, Ns.xsdString, null, "2022-01-01")).toDS()
+    val dir = Files.createTempDirectory("graft_exports_guard").toString
+    spark.conf.set("graft.export.maxDriverRows", "1")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Exports.saveMonthGraphs(spark, ts, dir, "January_2022")
+      }
+      assert(e.getMessage.contains("toNTriples"))
+    } finally spark.conf.unset("graft.export.maxDriverRows")
+  }
+
   test("Turtle golden: prefixed names, `a` for rdf:type, `;`/`,` chaining") {
     val ts = Seq(
       Triple("base", Ns.events + "e1", Ns.rdfType, Ns.COY + "NewsSummary", true, null, null, "2022-01-01"),

@@ -97,6 +97,21 @@ class EmitSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"extra: ${extra.take(5)}")
   }
 
+  test("multi-sentence golden: previous/nextSentence chain") {
+    val s1 = KSentence("Quake hits. ", 0, 12, Nil)
+    val s2 = KSentence("Aid arrives. ", 12, 25, Nil)
+    val e = mkEvent.copy(text = "Quake hits. Aid arrives. ",
+      sentences = Seq(s1, s2), links = Nil)
+    val got = Emit.eventTriples(e, Map(0L -> topicInfo), Map.empty).toSet
+    val su0 = Uris.sentenceUri(ctx, 0)
+    val su1 = Uris.sentenceUri(ctx, 1)
+    // the chain links exist exactly between consecutive sentences
+    assert(got.contains(Triple("base", su1, Ns.NIF + "previousSentence", su0, true, null, null, d)))
+    assert(got.contains(Triple("base", su0, Ns.NIF + "nextSentence", su1, true, null, null, d)))
+    assert(got.count(t => t.pred == Ns.NIF + "previousSentence" ||
+      t.pred == Ns.NIF + "nextSentence") == 2)
+  }
+
   test("parent-location golden: linked place isLocatedIn its parent, no reflexive link (outputRdf.py:540-557)") {
     val cityUrl = "https://en.wikipedia.org/wiki/CityX"
     val countryUrl = "https://en.wikipedia.org/wiki/CountryZ"
