@@ -21,13 +21,18 @@ object Dedup {
   private val NSeeds = 4 // MinHash seeds; each seed doubles as one LSH band
 
   // ---- d01: MinHash signatures over character 8-gram shingles -------------
-  private def minhashExpr(seed: Int): String =
+  // The SQL form of the signature (kept for the NativeMinHashSpec equality
+  // gate; the hot path uses the single-pass native expression below, which
+  // computes all seeds in one text scan with byte-level digest comparison —
+  // see functions/GraftHash.scala).
+  private[queries] def minhashExpr(seed: Int): String =
     s"array_min(transform(sequence(1, greatest(length(text) - 7, 1)), " +
       s"i -> md5(concat('s$seed', substr(text, i, 8))))) AS mh$seed"
 
   def d01MinhashSignatures(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .selectExpr(Seq("doc_id") ++ (0 until NSeeds).map(minhashExpr): _*)
+      .select(col("doc_id"), graft.functions.Native.minhashSigs("text", NSeeds).as("mhs"))
+      .selectExpr(Seq("doc_id") ++ (0 until NSeeds).map(k => s"mhs[$k] AS mh$k"): _*)
       .orderBy(col("doc_id"))
 
   val d01Sql: String = {
@@ -98,9 +103,8 @@ object Dedup {
       // once sigs materializes it is never read again
       val reps = docs.join(groups.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
       val sigs = reps
-        .selectExpr(Seq("doc_id") ++ (0 until NSeeds).map(minhashExpr): _*)
-        .selectExpr("doc_id",
-          s"stack($NSeeds, ${(0 until NSeeds).map(k => s"$k, mh$k").mkString(", ")}) AS (band, sig)")
+        .select(col("doc_id"), graft.functions.Native.minhashSigs("text", NSeeds).as("mhs"))
+        .selectExpr("doc_id", "posexplode(mhs) AS (band, sig)")
         .persist(StorageLevel.MEMORY_AND_DISK)
       try sigs.count() // materialize the whole chain once (groups en route)
       catch { case t: Throwable => // failed builder must not strand blocks
@@ -277,7 +281,6 @@ object Dedup {
       .getOrElse(MaxEmbPlanes)
 
   def d06EmbeddingNeardup(s: SparkSession, d: String): DataFrame = {
-    val nib = (i: Int) => s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
     val docs = Tables.documents(s, d)
     // exact-text pre-collapse: identical texts ⇒ identical vectors; band
     // representatives only, pair members with their rep (verified through
@@ -292,43 +295,29 @@ object Dedup {
     val nDocs = docs.count() // parquet metadata count; sizes the vec broadcast
     val nReps = fpGroups.count()
     val nPlanes = embPlanesFor(nReps) // buckets hold representatives
-    // sparse (doc_id, dim, count) over ALL docs (members verify with their
-    // own text); feeds the rep projections and the dense vectors —
-    // checkpoint so the token explode runs once
+    // dense 64-slot count vector per doc via the native single-pass
+    // expression (functions/GraftHash.scala) — replaces the token explode +
+    // (doc, slot) groupBy + densify pipeline, which shuffled O(corpus
+    // tokens) rows; now the ONLY pass over document text in d06, feeding
+    // both the rep bucket projections and the verification vectors —
+    // checkpoint so the text scan runs once
     val feat = docs
-      .selectExpr("doc_id", "explode(split(text, ' ')) AS tok")
-      .selectExpr("doc_id", "substr(md5(tok), 1, 2) AS h")
-      .selectExpr("doc_id", s"(${nib(1)} * 16 + ${nib(2)}) % $EmbDim AS j")
-      .groupBy(col("doc_id"), col("j"))
-      .agg(count(lit(1)).as("c"))
+      .select(col("doc_id"),
+        graft.functions.Native.tokenCountVec("text", EmbDim).as("v"))
       .localCheckpoint(true)
-    val repFeat = feat.join(
-      fpGroups.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
-    // dense 64-slot vector + norm per doc (missing dims → 0); broadcast to
-    // both sides of the pair verification
-    val vecs = feat
-      .groupBy(col("doc_id"))
-      .agg(map_from_entries(collect_list(struct(col("j"), col("c")))).as("m"))
-      .selectExpr("doc_id",
-        s"transform(sequence(0, ${EmbDim - 1}), i -> coalesce(element_at(m, CAST(i AS INT)), CAST(0 AS BIGINT))) AS v")
-      .selectExpr("doc_id", "v",
-        "aggregate(v, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) AS n2")
-      .localCheckpoint(true) // feeds BOTH broadcast sides — compute once
-    val planes = s.range(NEmbBands.toLong * nPlanes * EmbDim)
-      .selectExpr(s"CAST(id DIV ${nPlanes * EmbDim} AS INT) AS band",
-        s"CAST((id DIV $EmbDim) % $nPlanes AS INT) AS p",
-        s"CAST(id % $EmbDim AS INT) AS j")
-      .selectExpr("band", "p", "j",
-        "CASE WHEN (instr('0123456789abcdef', " +
-          "substr(md5(concat('eb', band, '_', p, '_', j)), 1, 1)) - 1) % 2 = 0 " +
-          "THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS sgn")
-    val bkt = repFeat.join(broadcast(planes), Seq("j"))
-      .groupBy(col("doc_id"), col("band"), col("p"))
-      .agg(sum(col("sgn") * col("c")).as("proj"))
-      .selectExpr("doc_id", "band",
-        "CASE WHEN proj > 0 THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END AS bit")
-      .groupBy(col("doc_id"), col("band"))
-      .agg(sum(col("bit")).as("bucket"))
+    // dense vector + norm per doc; narrow over the feat blocks (each
+    // broadcast side re-reads blocks and re-folds — O(64)/row, cheaper than
+    // another checkpoint job)
+    val vecs = feat.selectExpr("doc_id", "v",
+      "aggregate(v, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) AS n2")
+    // per-band hyperplane buckets for representatives, computed IN-ROW by
+    // the native expression (the sign table is the same md5 rule the DuckDB
+    // oracle states) — replaces a broadcast planes join + two groupBys
+    val bkt = feat
+      .join(fpGroups.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        graft.functions.Native.embBuckets("v", NEmbBands, nPlanes).as("bkts"))
+      .selectExpr("doc_id", "posexplode(bkts) AS (band, bucket)")
       .localCheckpoint(true) // both sides of the banded self-join
     val cand = bkt.as("x").join(bkt.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
@@ -424,7 +413,17 @@ object Dedup {
 
   // ---- d03: SimHash (16-bit) over the token multiset ----------------------
   // h16(token) = first 4 hex nibbles of md5; bit votes ±1; sign → bit.
-  def d03Simhash(s: SparkSession, d: String): DataFrame = {
+  // Hot path: the native single-pass expression (functions/GraftHash.scala) —
+  // per-doc votes accumulate in-row, so the whole query is a narrow scan with
+  // NO shuffle (the SQL form explodes 16 × tokens rows into a groupBy — an
+  // O(corpus tokens) shuffle at 100 TB). The SQL form below is kept as the
+  // NativeMinHashSpec equality reference.
+  def d03Simhash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), graft.functions.Native.simhash16("text").as("simhash16"))
+      .orderBy(col("doc_id"))
+
+  private[queries] def d03SimhashSqlForm(s: SparkSession, d: String): DataFrame = {
     val nib = (i: Int) => s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
     val bits = Tables.documents(s, d)
       .selectExpr("doc_id", "explode(split(text, ' ')) AS tok")
