@@ -21,6 +21,7 @@ object QueryTimer {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     if (args.headOption.contains("probeD02")) { probeD02(spark, sfDir); spark.stop(); return }
+    if (args.headOption.contains("probeD06")) { probeD06(spark, sfDir); spark.stop(); return }
     KgPipeline.triples(spark, sfDir).count()
     KgPipeline.edges(spark, sfDir).count()
     if (args.headOption.contains("probe")) { probe(spark, sfDir); spark.stop(); return }
@@ -68,6 +69,56 @@ object QueryTimer {
       .selectExpr("doc_id", s"explode(array_distinct($sh3Inline)) AS sh").count())
     t("d02 full cold")(graft.queries.Dedup.queries("d02_lsh_pairs")(spark, d).count())
     t("d02 full warm")(graft.queries.Dedup.queries("d02_lsh_pairs")(spark, d).count())
+  }
+
+  /** Cold-path decomposition of d06's stages (mirrors Dedup.d06EmbeddingNeardup). */
+  def probeD06(spark: SparkSession, d: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.queries.Tables
+    val docs = Tables.documents(spark, d)
+    val fpGroups = t("fpGroups build+checkpoint")(docs
+      .selectExpr("doc_id", "md5(text) AS fp")
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
+      .localCheckpoint(true))
+    t("docs.count")(docs.count())
+    val nReps = t("fpGroups.count")(fpGroups.count())
+    println(s"[probe] nReps=$nReps")
+    val feat = t("feat (tokenCountVec) build+checkpoint")(docs
+      .select(col("doc_id"), graft.functions.Native.tokenCountVec("text", 64).as("v"))
+      .localCheckpoint(true))
+    val bkt = t("bkt (embBuckets) build+checkpoint")(feat
+      .join(fpGroups.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), graft.functions.Native.embBuckets("v", 4, 7).as("bkts"))
+      .selectExpr("doc_id", "posexplode(bkts) AS (band, bucket)")
+      .localCheckpoint(true))
+    val groupPairs = fpGroups
+      .selectExpr("rep AS a", "explode(members) AS b").filter(col("a") < col("b"))
+    val cand = t("cand self-join+distinct count") {
+      val c = bkt.as("x").join(bkt.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .unionByName(groupPairs).distinct()
+      println(s"[probe] cand rows: ${c.count()}"); c
+    }
+    val vecs = feat.selectExpr("doc_id", "v",
+      "aggregate(v, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) AS n2")
+    def side(n: String, vn: String, nn: String) =
+      broadcast(vecs.select(col("doc_id").as(n), col("v").as(vn), col("n2").as(nn)))
+    t("verify joins+sort") {
+      cand.join(side("a", "va", "n2a"), Seq("a"))
+        .join(side("b", "vb", "n2b"), Seq("b"))
+        .selectExpr("a", "b",
+          "aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v) AS dot",
+          "n2a", "n2b")
+        .selectExpr("a", "b",
+          "CAST(floor(1e6 * dot / (sqrt(n2a) * sqrt(n2b))) AS BIGINT) AS sim_e6")
+        .filter(col("sim_e6") >= 950000L)
+        .orderBy(col("sim_e6").desc, col("a"), col("b")).count()
+    }
+    t("d06 full cold")(graft.queries.Dedup.queries("d06_embedding_neardup")(spark, d).count())
+    t("d06 full warm")(graft.queries.Dedup.queries("d06_embedding_neardup")(spark, d).count())
   }
 
   /** Sub-step timings for the iterative kg queries. */

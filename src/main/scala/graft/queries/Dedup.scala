@@ -319,10 +319,35 @@ object Dedup {
         graft.functions.Native.embBuckets("v", NEmbBands, nPlanes).as("bkts"))
       .selectExpr("doc_id", "posexplode(bkts) AS (band, bucket)")
       .localCheckpoint(true) // both sides of the banded self-join
-    val cand = bkt.as("x").join(bkt.as("y"),
+    // Mega-bucket guard, adapted to near-dup semantics: hyperplane buckets
+    // are NOT uniform — mutually-similar vectors pile into the SAME buckets
+    // in every band (more planes can split random collisions but never a
+    // true cluster), measured at sf0.1 as 3.4M candidate pairs from 5k reps
+    // that bound the whole query on distinct + verification; a skewed
+    // bucket at 100 TB goes quadratic. d02's drop-the-bucket rule would
+    // throw away exactly the clusters near-dup search exists to find
+    // (measured: 26 → 5 result rows at sf0.01), so oversized buckets emit
+    // STAR pairs to the bucket's min doc instead — O(members) candidates,
+    // cluster connectivity preserved through the bucket root, the same
+    // canonical-pairing shape grp_pairs gives exact dups. Buckets at or
+    // under the target keep exhaustive in-bucket pairing. The DuckDB oracle
+    // states the identical split rule.
+    val bstats = bkt.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"), min(col("doc_id")).as("root"))
+    val smallB = bstats.filter(col("bsz") <= EmbBucketTarget)
+      .select(col("band"), col("bucket"))
+    val bigB = bstats.filter(col("bsz") > EmbBucketTarget)
+      .select(col("band"), col("bucket"), col("root"))
+    val bounded = bkt.join(smallB, Seq("band", "bucket"), "left_semi")
+    val allPairs = bounded.as("x").join(bounded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    val starPairs = bkt.join(bigB, Seq("band", "bucket"))
+      .filter(col("doc_id") > col("root"))
+      .select(col("root").as("a"), col("doc_id").as("b"))
+    val cand = allPairs
+      .unionByName(starPairs) // mega buckets: member ↔ bucket root only
       .unionByName(groupPairs) // exact-dup members ↔ canonical rep
       .distinct()
     // the dense-vector side is a narrow (doc_id, 64×BIGINT) projection —
@@ -393,11 +418,25 @@ object Dedup {
        |    JOIN grps g ON f.doc_id = g.rep
        |    GROUP BY f.doc_id, pl.band, pl.p) t
        |  GROUP BY doc_id, band),
+       |bstats AS (
+       |  SELECT band, bucket, COUNT(*) AS bsz, MIN(doc_id) AS root
+       |  FROM bkt GROUP BY band, bucket),
+       |bktk AS (
+       |  SELECT bkt.* FROM bkt
+       |  JOIN (SELECT band, bucket FROM bstats WHERE bsz <= $EmbBucketTarget) s
+       |  USING (band, bucket)),
+       |starp AS (
+       |  SELECT g.root AS a, k.doc_id AS b
+       |  FROM (SELECT band, bucket, root FROM bstats WHERE bsz > $EmbBucketTarget) g
+       |  JOIN bkt k USING (band, bucket)
+       |  WHERE k.doc_id > g.root),
        |cand AS (
        |  SELECT DISTINCT a, b FROM (
        |    SELECT x.doc_id AS a, y.doc_id AS b
-       |    FROM bkt x JOIN bkt y
+       |    FROM bktk x JOIN bktk y
        |      ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+       |    UNION ALL
+       |    SELECT a, b FROM starp
        |    UNION ALL
        |    SELECT a, b FROM grp_pairs WHERE a < b) u)
        |SELECT a, b,
