@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-mix construction operators over `documents` — the steps between
+  * "deduplicated corpus" and "tokenizer-ready shards" in a large-scale
+  * training-data pipeline: deterministic stratified sampling to a target
+  * language mix, token-budget shard packing, and incremental dedup of new
+  * documents against an already-ingested base corpus.
+  *
+  * Determinism rule (shared with Dedup/TextAnalysis): every random-looking
+  * choice is a pure function of md5 hex, which Spark and DuckDB compute
+  * identically, so each query has an exact DuckDB oracle. No rand(), no
+  * sample() — a resumed or re-run job at 100 TB must pick the SAME documents.
+  *
+  * Scale notes (100 TB):
+  *  - x01 is a narrow scan: the keep/drop decision is per-row arithmetic on
+  *    md5(doc_id); no shuffle at any scale.
+  *  - x02 windows are PARTITIONED (by lang here; by (lang, date-bucket) at
+  *    real scale so each window partition stays executor-sized) — a single
+  *    global ORDER BY window would serialize the corpus through one task and
+  *    is exactly what this formulation avoids.
+  *  - d07's base-side fingerprints/signatures are, operationally, tables you
+  *    write once when the base corpus is ingested and reuse for every
+  *    increment; both probes are semi joins on hashed keys (no candidate-pair
+  *    explosion — membership, not pairing), hash-partitioned on fp/(band,sig),
+  *    and broadcastable when the increment is small.
+  */
+object TrainingMix {
+
+  // 4 nibbles of md5(doc_id) → uniform u16 in [0, 65536): the deterministic
+  // coin every sampling decision flips. doc_id is BIGINT in the input table —
+  // cast to string before hashing (both engines render int64 identically).
+  private def nib(h: String, i: Int): String =
+    s"(instr('0123456789abcdef', substr($h, $i, 1)) - 1)"
+
+  private val u16 = {
+    val h = "md5(CAST(doc_id AS STRING))"
+    s"(((${nib(h, 1)} * 16 + ${nib(h, 2)}) * 16 + ${nib(h, 3)}) * 16 + ${nib(h, 4)})"
+  }
+
+  // Target mix: downsample the dominant language to 1/4, keep the minority
+  // languages whole, everything unrecognized at 1/8. Rates are u16 thresholds
+  // (65536 = keep all) so keep/drop is integer-exact in both engines.
+  private val rateExpr =
+    "CASE WHEN lang = 'en' THEN 16384 " +
+      "WHEN lang IN ('de', 'fr', 'es') THEN 65536 ELSE 8192 END"
+
+  // ---- x01: stratified training-mix sample --------------------------------
+  def x01StratifiedSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .selectExpr("doc_id", "lang",
+        s"CAST($u16 AS BIGINT) AS u16", s"$rateExpr AS rate_u16")
+      .filter(col("u16") < col("rate_u16"))
+      .select(col("doc_id"), col("lang"), col("u16"))
+      .orderBy(col("doc_id"))
+
+  val x01Sql: String = {
+    val h = "md5(CAST(doc_id AS VARCHAR))"
+    val u = s"(((${nib(h, 1)} * 16 + ${nib(h, 2)}) * 16 + ${nib(h, 3)}) * 16 + ${nib(h, 4)})"
+    s"""SELECT doc_id, lang, $u AS u16
+       |FROM documents
+       |WHERE $u < $rateExpr
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- x02: token-budget shard packing -------------------------------------
+  // Contiguous packing per language stream: docs ordered by doc_id, shard
+  // boundary every ShardBudget whitespace tokens (shard = tokens-before DIV
+  // budget — the standard streaming-pack rule; a shard overflows by at most
+  // one document, never silently splits one).
+  private val ShardBudget = 4096L
+  private val nTok = "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
+
+  def x02ShardPacking(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .selectExpr("doc_id", "lang", s"$nTok AS n_tokens")
+      .selectExpr("doc_id", "lang", "n_tokens",
+        "COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), CAST(0 AS BIGINT)) AS cum_before")
+      .selectExpr("doc_id", "lang", "n_tokens",
+        s"cum_before DIV $ShardBudget AS shard_idx")
+      .orderBy(col("doc_id"))
+
+  val x02Sql: String =
+    s"""WITH toks AS (SELECT doc_id, lang, $nTok AS n_tokens FROM documents),
+       |packed AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM toks)
+       |SELECT doc_id, lang, n_tokens,
+       |  CAST(cum_before // $ShardBudget AS BIGINT) AS shard_idx
+       |FROM packed ORDER BY doc_id""".stripMargin
+
+  // ---- d07: incremental dedup against a base corpus ------------------------
+  // Corpus split deterministically on the first md5(doc_id) nibble: < 8 is
+  // the already-ingested base, >= 8 the incoming increment. Each incoming doc
+  // is flagged 'exact' (its bag-of-words fingerprint exists in the base),
+  // 'near' (shares a MinHash band signature with any base doc — d01's
+  // signature family, one band per seed), or 'keep'. Exact wins over near.
+  private val NSeeds = 4 // matches Dedup.d01 so the signature family is shared
+  private val bowFp =
+    "md5(array_join(array_sort(array_distinct(split(text, ' '))), ' ')) AS fp"
+
+  def d07IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).selectExpr("doc_id", "text",
+      s"${nib("md5(CAST(doc_id AS STRING))", 1)} AS nib")
+    val base = docs.filter(col("nib") < 8)
+    val inc = docs.filter(col("nib") >= 8)
+    val baseFps = base.selectExpr(bowFp).distinct()
+    val exactIds = inc.selectExpr("doc_id", bowFp)
+      .join(baseFps, Seq("fp"), "left_semi").select(col("doc_id")).distinct()
+    def sigs(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), graft.functions.Native.minhashSigs("text", NSeeds).as("mhs"))
+      .selectExpr("doc_id", "posexplode(mhs) AS (band, sig)")
+    val baseSigs = sigs(base).select(col("band"), col("sig")).distinct()
+    val nearIds = sigs(inc).join(baseSigs, Seq("band", "sig"), "left_semi")
+      .select(col("doc_id")).distinct()
+    inc.select(col("doc_id"))
+      .join(exactIds.withColumn("is_exact", lit(1)), Seq("doc_id"), "left")
+      .join(nearIds.withColumn("is_near", lit(1)), Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        "CASE WHEN is_exact = 1 THEN 'exact' " +
+          "WHEN is_near = 1 THEN 'near' ELSE 'keep' END AS verdict")
+      .orderBy(col("doc_id"))
+  }
+
+  val d07Sql: String = {
+    val mins = (0 until NSeeds)
+      .map(k => s"min(md5('s$k' || substr(text, i, 8))) AS mh$k").mkString(", ")
+    def stack(src: String) = (0 until NSeeds)
+      .map(k => s"SELECT doc_id, $k AS band, mh$k AS sig FROM $src")
+      .mkString(" UNION ALL ")
+    val fp = "md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp"
+    s"""WITH docs AS (
+       |  SELECT doc_id, text,
+       |    ${nib("md5(CAST(doc_id AS VARCHAR))", 1)} AS nib
+       |  FROM documents),
+       |base AS (SELECT doc_id, text FROM docs WHERE nib < 8),
+       |inc AS (SELECT doc_id, text FROM docs WHERE nib >= 8),
+       |series AS (SELECT i FROM generate_series(1, 2048) t(i)),
+       |basefp AS (SELECT DISTINCT $fp FROM base),
+       |incfp AS (SELECT doc_id, $fp FROM inc),
+       |basesig0 AS (
+       |  SELECT doc_id, $mins FROM base
+       |  JOIN series ON i <= greatest(length(text) - 7, 1) GROUP BY doc_id),
+       |incsig0 AS (
+       |  SELECT doc_id, $mins FROM inc
+       |  JOIN series ON i <= greatest(length(text) - 7, 1) GROUP BY doc_id),
+       |basesig AS (SELECT DISTINCT band, sig FROM (${stack("basesig0")})),
+       |incsig AS (${stack("incsig0")}),
+       |exact AS (SELECT DISTINCT doc_id FROM incfp JOIN basefp USING (fp)),
+       |near AS (SELECT DISTINCT s.doc_id FROM incsig s JOIN basesig b USING (band, sig))
+       |SELECT i.doc_id,
+       |  CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+       |       WHEN n.doc_id IS NOT NULL THEN 'near' ELSE 'keep' END AS verdict
+       |FROM inc i LEFT JOIN exact e USING (doc_id) LEFT JOIN near n USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x01_stratified_sample" -> (x01StratifiedSample _),
+    "x02_shard_packing" -> (x02ShardPacking _),
+    "d07_incremental_dedup" -> (d07IncrementalDedup _))
+
+  val oracleSql: Map[String, String] = Map(
+    "x01_stratified_sample" -> x01Sql,
+    "x02_shard_packing" -> x02Sql,
+    "d07_incremental_dedup" -> d07Sql)
+}

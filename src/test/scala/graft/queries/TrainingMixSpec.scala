@@ -1,0 +1,121 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sequential (collections-only) recompute of each TrainingMix operator —
+  * the same hand-oracle style as graft.kg.Oracle: the distributed plan must
+  * reproduce the per-row arithmetic exactly, not just look plausible.
+  */
+class TrainingMixSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  // corpus: dominant en + minority langs, an identical-text cluster (spans
+  // both d07 halves), near-dup pairs (one token changed), and unique filler
+  private val corpus: Seq[(Long, String, String)] = {
+    val base = (0 until 30).map(j => s"word$j").mkString(" ")
+    val cluster = (0L until 12L).map(i => (i, base, "en"))
+    val nearA = (12L until 18L).map(i => (i, base + s" tail$i", "en"))
+    val filler = (18L until 48L).map { i =>
+      val lang = Seq("en", "en", "de", "fr", "es", "it")((i % 6).toInt)
+      (i, (0 until 40).map(j => s"tok${i}u$j").mkString(" "), lang)
+    }
+    cluster ++ nearA ++ filler
+  }
+
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_tmix").toString
+    corpus.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private def u16(docId: Long): Int =
+    Integer.parseInt(md5hex(docId.toString).substring(0, 4), 16)
+
+  test("x01 stratified sample == sequential md5-threshold recompute") {
+    val rate = (lang: String) => lang match {
+      case "en" => 16384
+      case "de" | "fr" | "es" => 65536
+      case _ => 8192
+    }
+    val expected = corpus
+      .filter { case (id, _, lang) => u16(id) < rate(lang) }
+      .map { case (id, _, lang) => (id, lang, u16(id).toLong) }
+      .sortBy(_._1)
+    val got = TrainingMix.queries("x01_stratified_sample")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // the mix actually moved: de/fr/es survive whole, en is cut
+    assert(expected.count(e => Set("de", "fr", "es")(e._2)) ==
+      corpus.count(c => Set("de", "fr", "es")(c._3)))
+    assert(expected.count(_._2 == "en") < corpus.count(_._3 == "en"))
+  }
+
+  test("x02 shard packing == sequential running-sum recompute; budget rule holds") {
+    val budget = 4096L
+    val expected = corpus.groupBy(_._3).flatMap { case (lang, docs) =>
+      var cum = 0L
+      docs.sortBy(_._1).map { case (id, text, _) =>
+        val nTok = text.count(_ == ' ').toLong + 1L
+        val shard = cum / budget
+        cum += nTok
+        (id, lang, nTok, shard)
+      }
+    }.toSeq.sortBy(_._1)
+    val got = TrainingMix.queries("x02_shard_packing")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // every shard holds <= budget tokens before its last doc was added
+    // (streaming rule: overflow by at most one document)
+    got.groupBy(t => (t._2, t._4)).foreach { case (_, docs) =>
+      assert(docs.init.map(_._3).sum <= budget)
+    }
+    // shards within a stream are contiguous starting at 0
+    got.groupBy(_._2).foreach { case (_, docs) =>
+      val shards = docs.map(_._4).distinct.sorted
+      assert(shards == (0L to shards.max).toList)
+    }
+  }
+
+  test("d07 incremental dedup == sequential fingerprint+minhash recompute") {
+    def shingles(text: String): Seq[String] = {
+      val n = math.max(text.length - 7, 1)
+      (0 until n).map(i => text.substring(i, math.min(i + 8, text.length)))
+    }
+    def sig(text: String, seed: Int): String =
+      shingles(text).map(sh => md5hex(s"s$seed" + sh)).min
+    def bowFp(text: String): String =
+      md5hex(text.split(" ").distinct.sorted.mkString(" "))
+    val nibOf = (id: Long) =>
+      Integer.parseInt(md5hex(id.toString).substring(0, 1), 16)
+    val base = corpus.filter(c => nibOf(c._1) < 8)
+    val inc = corpus.filter(c => nibOf(c._1) >= 8)
+    assert(base.nonEmpty && inc.nonEmpty)
+    val baseFps = base.map(c => bowFp(c._2)).toSet
+    val baseSigs = base.flatMap(c => (0 until 4).map(k => (k, sig(c._2, k)))).toSet
+    val expected = inc.map { case (id, text, _) =>
+      val verdict =
+        if (baseFps.contains(bowFp(text))) "exact"
+        else if ((0 until 4).exists(k => baseSigs.contains((k, sig(text, k))))) "near"
+        else "keep"
+      (id, verdict)
+    }.sortBy(_._1)
+    val got = TrainingMix.queries("d07_incremental_dedup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == expected)
+    // the corpus exercises all three verdicts
+    assert(Set("exact", "near", "keep").subsetOf(expected.map(_._2).toSet))
+  }
+}
