@@ -15,31 +15,44 @@ import graft.canon.ConnectedComponents
 object KgPipeline {
 
   // cache the triple table per (session, sf dir) — queries share one pipeline
-  // run. Keying by session identity too (ADVICE r3): a cached DataFrame is
+  // run. Keying by the session REFERENCE (ADVICE r3): a cached DataFrame is
   // bound to the SparkSession that built it, so a restarted session must
   // rebuild instead of receiving stale frames that fail at execution.
-  private def ck(spark: SparkSession, sfDir: String): String =
-    System.identityHashCode(spark).toString + ":" + sfDir
+  // (SparkSession does not override equals, so case-class equality here is
+  // reference equality — no identityHashCode collisions.) Entries of stopped
+  // sessions are purged on the next cache access: their blocks died with the
+  // context, and keeping the entry would pin the dead session's whole object
+  // graph for the life of the JVM.
+  private final case class CK(session: SparkSession, dir: String)
+  private def ck(spark: SparkSession, sfDir: String): CK = {
+    purgeDeadSessions()
+    CK(spark, sfDir)
+  }
+  private def purgeDeadSessions(): Unit =
+    Seq(cache, edgeCache, enrichedCache, metricsCache).foreach { m =>
+      val it = m.keySet().iterator()
+      while (it.hasNext) if (it.next().session.sparkContext.isStopped) it.remove()
+    }
   // ConcurrentHashMap.computeIfAbsent, not TrieMap.getOrElseUpdate: the
   // latter can evaluate the builder twice under concurrent first calls and
   // leak the losing builder's materialized blocks. (The builders call into
   // DIFFERENT maps only — edges→triples, metrics→enriched/triples — so no
   // same-map reentrancy.)
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, Dataset[Triple]]()
+    new java.util.concurrent.ConcurrentHashMap[CK, Dataset[Triple]]()
   // one shared date-deduped (subj, pred, obj) edge projection: article-derived
   // triples repeat once per mention date (partition key), so every graph-shaped
   // query (kg02-kg08) needs the same distinct — run the shuffle ONCE, not per
   // query. Derived predicates of this cache are unique per (subj, obj).
   private val edgeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[CK, DataFrame]()
   // kg10/kg12/kg13 all need the enriched-article frame and kg13 needs kg12's
   // metrics table — cache both per sf dir so the enrichment dataflow runs
   // once across the three queries instead of three times
   private val enrichedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Dataset[EnrichedArticle]]()
+    new java.util.concurrent.ConcurrentHashMap[CK, Dataset[EnrichedArticle]]()
   private val metricsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[CK, DataFrame]()
 
   def triples(spark: SparkSession, sfDir: String): Dataset[Triple] =
     cache.computeIfAbsent(ck(spark, sfDir),

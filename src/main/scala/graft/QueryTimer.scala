@@ -71,7 +71,12 @@ object QueryTimer {
     t("d02 full warm")(graft.queries.Dedup.queries("d02_lsh_pairs")(spark, d).count())
   }
 
-  /** Cold-path decomposition of d06's stages (mirrors Dedup.d06EmbeddingNeardup). */
+  /** Cold-path decomposition of d06's stages. NOTE: the candidate stage here
+    * is deliberately the UNBOUNDED all-pairs form (no mega-bucket star-pair
+    * split) — it measures the candidate mass the >50-bucket guard in
+    * Dedup.d06EmbeddingNeardup exists to avoid, so its `cand rows` can be
+    * orders of magnitude above what the production query processes.
+    */
   def probeD06(spark: SparkSession, d: String): Unit = {
     import org.apache.spark.sql.functions._
     import graft.queries.Tables
@@ -94,7 +99,7 @@ object QueryTimer {
       .localCheckpoint(true))
     val groupPairs = fpGroups
       .selectExpr("rep AS a", "explode(members) AS b").filter(col("a") < col("b"))
-    val cand = t("cand self-join+distinct count") {
+    val cand = t("cand self-join+distinct count (UNBOUNDED, pre-guard form)") {
       val c = bkt.as("x").join(bkt.as("y"),
           col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
             col("x.doc_id") < col("y.doc_id"))

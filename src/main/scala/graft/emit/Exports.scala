@@ -164,15 +164,24 @@ object Exports {
     import scala.jdk.CollectionConverters._
     // driver-OOM guard: this method collects every rendered node; a caller
     // pointing it at a big slice must use the distributed text sink instead.
-    // The limit is rows (cheap to count off the cached frame) — ~200 B/row
-    // keeps the default well under a few GiB of driver heap.
-    val maxRows = spark.conf
-      .get("graft.export.maxDriverRows", "5000000").toLong
-    val n = triples.count()
-    require(n <= maxRows,
-      s"saveMonthGraphs is a driver-local single-file export: $n rows > " +
-        s"graft.export.maxDriverRows=$maxRows — use toNTriples(...).write.text " +
-        "for cluster-scale slices, or raise the conf knowingly")
+    // The limit is PAYLOAD BYTES, not rows — obj can carry full article-text
+    // literals (~KBs each), so a row gate alone still admits multi-GB
+    // collects. One agg pass off the cached frame measures the real string
+    // mass; rendering inflates it ~3x, so the 512 MB default keeps the
+    // collected form ~1.5 GB of driver heap.
+    val maxBytes = spark.conf
+      .get("graft.export.maxDriverBytes", (512L * 1024 * 1024).toString).toLong
+    val Array(n, bytes) = triples
+      .selectExpr("count(*) AS n",
+        "CAST(COALESCE(SUM(octet_length(subj) + octet_length(pred) + " +
+          "octet_length(obj) + COALESCE(octet_length(obj_dtype), 0) + " +
+          "COALESCE(octet_length(obj_lang), 0)), 0) AS BIGINT) AS bytes")
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    require(bytes <= maxBytes,
+      s"saveMonthGraphs is a driver-local single-file export: $n rows / " +
+        s"$bytes payload bytes > graft.export.maxDriverBytes=$maxBytes — use " +
+        "toNTriples(...).write.text for cluster-scale slices, or raise the " +
+        "conf knowingly")
     Files.createDirectories(Paths.get(outDir))
     val modules = triples.select(col("graph_module")).distinct()
       .collect().map(_.getString(0)).sorted

@@ -255,7 +255,14 @@ object TableIO {
       val affRows = all.filter(col(partCol).isin(affected: _*))
       val kept = affRows.join(staleCmp,
         allCols.map(c => col(c) <=> col(s"__st_$c")).reduce(_ && _), "left_anti")
-      replacePartitions(spark, table, kept, partCol, affected)
+      // carry the affected partitions' lineage metrics forward: they describe
+      // the original month build (timings, parse errors, emit counters) and
+      // compaction must not erase that history; rows/files are re-counted
+      // from the rewritten layout by replacePartitions itself
+      val prevMeta = currentManifest(table).partitions
+      replacePartitions(spark, table, kept, partCol, affected,
+        metricsFn = _ => affected.map(k =>
+          k -> prevMeta.get(k).map(_.metrics).getOrElse(Map.empty[String, Long])).toMap)
     }
   }
 

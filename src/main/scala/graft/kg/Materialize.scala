@@ -141,7 +141,10 @@ object Materialize {
               committed += todo.size
             } finally b.releaseCaches() // committed OR failed: drop the blocks
           } catch {
-            case e: Throwable if !crashOnError =>
+            // NonFatal only: OOM/linkage errors and interrupts (cancellation)
+            // must abort the backfill, not be recorded as a skipped month and
+            // silently survived on a broken JVM
+            case scala.util.control.NonFatal(e) if !crashOnError =>
               TableIO.recordUnparsed(table, f"$year%04d-$month%02d",
                 Option(e.getMessage).getOrElse(e.getClass.getName))
           }

@@ -43,7 +43,15 @@ object Aqe {
     // AQE stays as-is for this window (a perf-only effect), correctness is
     // unaffected.
     val locked = lock.tryLock(60, java.util.concurrent.TimeUnit.SECONDS)
-    if (!locked) return f
+    if (!locked) {
+      // degrade loudly: this fires on ANY >60s holder (ordinary contention,
+      // not just a wait cycle), and the window then runs with whatever AQE/
+      // shuffle-width state the holder has pinned — perf-only, but it must
+      // be visible in the log when timings look odd
+      System.err.println("[graft] Aqe.without: lock timeout after 60s — " +
+        "running this window WITHOUT the conf swap (AQE state inherited)")
+      return f
+    }
     try {
       val prev = spark.conf.getOption(k)
       val loopParts = spark.conf.getOption("graft.loop.shufflePartitions")

@@ -18,7 +18,9 @@ import org.apache.spark.storage.StorageLevel
   */
 object Dedup {
 
-  private val NSeeds = 4 // MinHash seeds; each seed doubles as one LSH band
+  // MinHash seeds; each seed doubles as one LSH band. Shared with
+  // TrainingMix.d07 so the incremental probe stays in d01's signature family.
+  private[queries] val NSeeds = 4
 
   // ---- d01: MinHash signatures over character 8-gram shingles -------------
   // The SQL form of the signature (kept for the NativeMinHashSpec equality
@@ -29,8 +31,12 @@ object Dedup {
     s"array_min(transform(sequence(1, greatest(length(text) - 7, 1)), " +
       s"i -> md5(concat('s$seed', substr(text, i, 8))))) AS mh$seed"
 
+  // null-text docs are dropped, matching the oracle: the SQL forms lose them
+  // through the series join / explode, while the native scalar expression
+  // would keep a (doc_id, NULL) row — filter for parity.
   def d01MinhashSignatures(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), graft.functions.Native.minhashSigs("text", NSeeds).as("mhs"))
       .selectExpr(Seq("doc_id") ++ (0 until NSeeds).map(k => s"mhs[$k] AS mh$k"): _*)
       .orderBy(col("doc_id"))
@@ -66,7 +72,8 @@ object Dedup {
       "i -> concat(element_at(toks, i), ' ', " +
       "element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"
 
-  private val bowFp =
+  // BoW fingerprint (d04's key); shared with TrainingMix.d07's exact probe
+  private[queries] val bowFp =
     "md5(array_join(array_sort(array_distinct(split(text, ' '))), ' '))"
 
   /** Shared, materialized LSH prologue: BoW groups, representatives, band
@@ -83,13 +90,19 @@ object Dedup {
 
   // ConcurrentHashMap.computeIfAbsent, not TrieMap.getOrElseUpdate: the
   // latter can run the builder twice under concurrent first calls, and the
-  // losing builder's persisted blocks would leak. Keyed by session identity
-  // too — a frame from a dead/restarted session must not be served.
+  // losing builder's persisted blocks would leak. Keyed by the session
+  // REFERENCE (case-class equality on SparkSession is reference equality) —
+  // a frame from a dead/restarted session must not be served, and stopped
+  // sessions' entries are purged on the next access so they don't pin the
+  // dead session's object graph (their blocks died with the context).
+  private final case class PK(session: SparkSession, dir: String)
   private val prologueCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Prologue]()
+    new java.util.concurrent.ConcurrentHashMap[PK, Prologue]()
 
-  private def prologue(s: SparkSession, d: String): Prologue =
-    prologueCache.computeIfAbsent(System.identityHashCode(s) + ":" + d, _ => {
+  private def prologue(s: SparkSession, d: String): Prologue = {
+    val it = prologueCache.keySet().iterator()
+    while (it.hasNext) if (it.next().session.sparkContext.isStopped) it.remove()
+    prologueCache.computeIfAbsent(PK(s, d), _ => {
       val docs = Tables.documents(s, d)
         .filter(size(split(col("text"), " ")) >= 3)
       val groups = docs.selectExpr("doc_id", s"$bowFp AS fp")
@@ -113,6 +126,7 @@ object Dedup {
       }
       Prologue(groups, groupPairs, sigs)
     })
+  }
 
   /** Drop the cached LSH prologue blocks (bench/verify hygiene). */
   def release(): Unit = {
@@ -459,6 +473,7 @@ object Dedup {
   // NativeMinHashSpec equality reference.
   def d03Simhash(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      .filter(col("text").isNotNull) // parity: the explode forms drop these
       .select(col("doc_id"), graft.functions.Native.simhash16("text").as("simhash16"))
       .orderBy(col("doc_id"))
 

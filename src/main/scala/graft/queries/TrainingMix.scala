@@ -100,9 +100,8 @@ object TrainingMix {
   // is flagged 'exact' (its bag-of-words fingerprint exists in the base),
   // 'near' (shares a MinHash band signature with any base doc — d01's
   // signature family, one band per seed), or 'keep'. Exact wins over near.
-  private val NSeeds = 4 // matches Dedup.d01 so the signature family is shared
-  private val bowFp =
-    "md5(array_join(array_sort(array_distinct(split(text, ' '))), ' ')) AS fp"
+  private val NSeeds = Dedup.NSeeds // d01's signature family, by construction
+  private val bowFp = s"${Dedup.bowFp} AS fp" // d04's fingerprint, shared
 
   def d07IncrementalDedup(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).selectExpr("doc_id", "text",

@@ -63,6 +63,28 @@ class CompactionSpec extends AnyFunSuite {
     assert(!after.contains(("A", "name", "old", d2)))
   }
 
+  test("compaction preserves the affected partitions' lineage metrics") {
+    val table = Files.createTempDirectory("graft_compact_metrics").toString
+    val d1 = "2022-01-05"
+    val d2 = "2022-02-05"
+    val v1 = df(Seq(
+      ("A", "name", "old", d1), ("A", "name", "old", d2),
+      ("X", "name", "x", d2)))
+    TableIO.replacePartitions(spark, table, v1, "event_date", Seq(d1, d2),
+      metricsFn = _ => Map(d1 -> Map("m" -> 1L), d2 -> Map("m" -> 2L)))
+    val v2 = df(Seq(("A", "name", "new", d1)))
+    TableIO.replacePartitions(spark, table, v2, "event_date", Seq(d1),
+      metricsFn = _ => Map(d1 -> Map("m" -> 3L)))
+    TableIO.compactSubjects(spark, table, "event_date", Seq(d1))
+    val parts = TableIO.currentManifest(table).partitions
+    // d2 was rewritten by the cascade (A's stale copy removed): its original
+    // build metrics must survive the rewrite, its row count must be honest
+    assert(parts(d2).metrics == Map("m" -> 2L))
+    assert(parts(d2).rows == 1L)
+    // d1 was not an affected partition — untouched
+    assert(parts(d1).metrics == Map("m" -> 3L))
+  }
+
   test("pipeline cascade: re-enriched article leaves no stale triples in other months") {
     val sfDir = "/root/testdata/sf0.001"
     val table = Files.createTempDirectory("graft_compact_kg").toString

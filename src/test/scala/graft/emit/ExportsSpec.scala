@@ -67,13 +67,13 @@ class ExportsSpec extends AnyFunSuite {
       Triple("base", "http://s1", "http://p", "a", false, Ns.xsdString, null, "2022-01-01"),
       Triple("base", "http://s2", "http://p", "b", false, Ns.xsdString, null, "2022-01-01")).toDS()
     val dir = Files.createTempDirectory("graft_exports_guard").toString
-    spark.conf.set("graft.export.maxDriverRows", "1")
+    spark.conf.set("graft.export.maxDriverBytes", "1")
     try {
       val e = intercept[IllegalArgumentException] {
         Exports.saveMonthGraphs(spark, ts, dir, "January_2022")
       }
       assert(e.getMessage.contains("toNTriples"))
-    } finally spark.conf.unset("graft.export.maxDriverRows")
+    } finally spark.conf.unset("graft.export.maxDriverBytes")
   }
 
   test("Turtle golden: prefixed names, `a` for rdf:type, `;`/`,` chaining") {

@@ -94,6 +94,17 @@ class MaterializeSpec extends AnyFunSuite {
     assert(TableIO.currentManifest(table).partitions.size == 59)
   }
 
+  test("fatal errors propagate instead of being recorded as skipped months") {
+    val table = Files.createTempDirectory("graft_triples_fatal").toString
+    // an interrupt (cancellation) is not a poisoned month — the skip policy
+    // must rethrow it, not survive it on a broken/interrupted JVM
+    intercept[InterruptedException] {
+      Materialize.run(spark, sfDir, table,
+        buildFn = (_, _, _) => throw new InterruptedException("cancelled"))
+    }
+    assert(TableIO.unparsedMonths(table).isEmpty)
+  }
+
   test("salted writes: hot partitions spread over >1 file, manifest counts honest") {
     val table = Files.createTempDirectory("graft_triples_salt").toString
     spark.conf.set("graft.write.tasksPerPartition", "4")

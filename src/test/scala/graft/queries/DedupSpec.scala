@@ -75,6 +75,23 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.exists { case (a, b, _) => a == 4L || b == 4L })
   }
 
+  test("null-text docs are dropped from d01/d03 (oracle parity)") {
+    import spark.implicits._
+    // the DuckDB oracles lose null-text docs through the series join /
+    // unnest; the native scalar expressions would keep a (doc_id, NULL) row —
+    // the queries must filter for parity
+    val dir = Files.createTempDirectory("graft_dedup_null").toString
+    Seq((1L, "alpha beta gamma delta epsilon"), (2L, null: String))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val d01 = Dedup.queries("d01_minhash_signatures")(spark, dir).collect()
+    assert(d01.map(_.getLong(0)).toSeq == Seq(1L))
+    val d03 = Dedup.queries("d03_simhash")(spark, dir).collect()
+    assert(d03.map(_.getLong(0)).toSeq == Seq(1L))
+    // the in-repo SQL reference form agrees (row lost through the explode)
+    val sqlForm = Dedup.d03SimhashSqlForm(spark, dir).collect()
+    assert(sqlForm.map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("d06 pre-collapse pairs a big identical-text cluster with its rep, not O(k^2)") {
     import spark.implicits._
     val cluster = (0L until 100L).map(i =>
