@@ -73,7 +73,8 @@ object Dedup {
       "element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"
 
   // BoW fingerprint (d04's key); shared with TrainingMix.d07's exact probe
-  private[queries] val bowFp =
+  // and the stateful streaming dedup (StreamingQueries.st03)
+  private[graft] val bowFp =
     "md5(array_join(array_sort(array_distinct(split(text, ' '))), ' '))"
 
   /** Shared, materialized LSH prologue: BoW groups, representatives, band

@@ -56,6 +56,59 @@ object StreamJobs {
       }
   }
 
+  // ---- streaming exact dedup (stateful fingerprint registry) ---------------
+  // State per BoW fingerprint: (canonical representative = min doc_id seen,
+  // running member count). Both folds are commutative/associative, so the
+  // final state is independent of arrival order — the batch run, any
+  // micro-batch split of the same input, and the DuckDB groupBy oracle all
+  // converge to identical rows. That is what makes an incremental corpus
+  // dedup safe on a real feed: reordered or re-sharded input cannot change
+  // which document a fingerprint canonicalizes to.
+  case class DocIn(doc_id: Long, fp: String)
+  case class DedupState(rep: Long, n: Long)
+  case class DedupOut(fp: String, rep_doc_id: Long, n_docs: Long)
+
+  def dedupState(docs: Dataset[DocIn]): Dataset[DedupOut] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.fp)
+      .mapGroupsWithState[DedupState, DedupOut](GroupStateTimeout.NoTimeout()) {
+        (fp, it, state: GroupState[DedupState]) =>
+          var s = state.getOption.getOrElse(DedupState(Long.MaxValue, 0L))
+          for (d <- it) s = DedupState(math.min(s.rep, d.doc_id), s.n + 1)
+          state.update(s)
+          DedupOut(fp, s.rep, s.n)
+      }
+  }
+
+  /** Run the dedup state machine as an actual multi-batch stream over a
+    * directory of parquet shards (Update output mode → memory sink). The
+    * sink accumulates one row per (fingerprint, micro-batch touching it);
+    * rep is monotone non-increasing and n monotone increasing per key, so
+    * the FINAL state per fingerprint is exactly (min(rep), max(n)) over the
+    * accumulated updates.
+    */
+  def runDedupStream(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    import spark.implicits._
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("fp", StringType)))
+    val stream = spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .as[DocIn]
+    val q = dedupState(stream)
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+      .groupBy(col("fp"))
+      .agg(min(col("rep_doc_id")).as("rep_doc_id"), max(col("n_docs")).as("n_docs"))
+  }
+
   /** Drive the windowed agg as an actual stream from parquet and collect the
     * complete result via the memory sink (local smoke for the streaming
     * plan — used by the spec and available as a library entry point).

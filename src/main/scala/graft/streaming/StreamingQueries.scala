@@ -37,11 +37,35 @@ object StreamingQueries {
       |  CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_e6
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // st03: the stateful streaming dedup registry run in batch mode — same
+  // mapGroupsWithState plan the multi-batch stream runs (StreamJobsSpec
+  // proves the stream converges to these rows); the oracle is the
+  // equivalent d04-style fingerprint groupBy, which the commutative state
+  // folds match by construction.
+  def st03StreamDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .selectExpr("doc_id", s"${graft.queries.Dedup.bowFp} AS fp")
+      .as[StreamJobs.DocIn]
+    StreamJobs.dedupState(docs).toDF()
+      .select(col("fp"), col("rep_doc_id"), col("n_docs"))
+      .orderBy(col("rep_doc_id"))
+  }
+
+  val st03Sql: String =
+    """SELECT fp, MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_docs
+      |FROM (SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+      |  FROM documents) t
+      |GROUP BY fp ORDER BY rep_doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_windowed_agg" -> (st01WindowedAgg _),
-    "st02_sessionize" -> (st02Sessionize _))
+    "st02_sessionize" -> (st02Sessionize _),
+    "st03_stream_dedup" -> (st03StreamDedup _))
 
   def oracleSql: Map[String, String] = Map(
     "st01_windowed_agg" -> st01Sql,
-    "st02_sessionize" -> st02Sql)
+    "st02_sessionize" -> st02Sql,
+    "st03_stream_dedup" -> st03Sql)
 }

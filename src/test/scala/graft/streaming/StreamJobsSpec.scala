@@ -31,6 +31,32 @@ class StreamJobsSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch))
   }
 
+  test("multi-batch streaming dedup converges to the batch state and the groupBy truth") {
+    import spark.implicits._
+    // stage the fingerprinted docs as 4 parquet shards so the stream runs 4
+    // REAL micro-batches (maxFilesPerTrigger=1) with fingerprints split
+    // across them — the state must carry between batches
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_dedup").toString
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", s"${graft.queries.Dedup.bowFp} AS fp")
+      .repartition(4) // round-robin: every shard sees a slice of most groups
+      .write.mode("overwrite").parquet(dir)
+    assert(spark.read.parquet(dir).inputFiles.length == 4)
+    def canon(df: org.apache.spark.sql.DataFrame): Array[(String, Long, Long)] =
+      df.select("fp", "rep_doc_id", "n_docs").as[(String, Long, Long)]
+        .collect().sortBy(_._1)
+    val streamed = canon(StreamJobs.runDedupStream(spark, dir, "st03_test"))
+    val batch = canon(StreamingQueries.st03StreamDedup(spark, sfDir))
+    val truth = canon(spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", s"${graft.queries.Dedup.bowFp} AS fp")
+      .groupBy("fp")
+      .agg(org.apache.spark.sql.functions.min("doc_id").as("rep_doc_id"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_docs")))
+    assert(streamed.nonEmpty && streamed.exists(_._3 > 1)) // real dup groups exercised
+    assert(streamed.sameElements(truth))
+    assert(batch.sameElements(truth))
+  }
+
   test("sessionization state equals groupBy aggregation") {
     import spark.implicits._
     val evs = spark.read.parquet(s"$sfDir/events.parquet")
