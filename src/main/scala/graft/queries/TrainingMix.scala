@@ -159,13 +159,76 @@ object TrainingMix {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- x03: eval-set decontamination ---------------------------------------
+  // Flag training documents that share any word n-gram with a held-out eval
+  // set (deterministic split: doc_id % 97 == 0 is "eval"). The canonical
+  // pre-training hygiene step: benchmark text leaking into the training mix
+  // inflates downstream scores, so per-doc overlap is counted (n_hits > 0 ⇒
+  // contaminated, drop or audit). n = 3 here because this synthetic corpus's
+  // near-dups are word-order shuffles (BoW-equal, so longer grams never
+  // match — measured: n=8 yields zero hits, n=3 yields 171 contaminated docs
+  // at sf0.01); production decontamination uses n of 8-13 over the SAME plan
+  // shape.
+  // Scale: the eval side is benchmark-sized (MBs against a 100 TB corpus),
+  // so its distinct gram set broadcasts (conf-gated with a shuffle-join
+  // fallback) and the corpus side never shuffles by gram. ONE gram scan
+  // feeds both counters — the broadcast left join tags eval hits in-stream
+  // and a single partial-agg groupBy(doc_id) emits (n_grams, n_hits)
+  // together, instead of two consumers recomputing the explode.
+  private val DecontamN = 3
+  private def gramExpr(n: Int): String = {
+    val parts = (0 until n).map(k => s"element_at(toks, i + $k)").mkString(", ")
+    s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', $parts))"
+  }
+
+  def x03Decontaminate(s: SparkSession, d: String): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr("doc_id", s"explode(array_distinct(${gramExpr(DecontamN)})) AS g")
+    val docs = Tables.documents(s, d)
+    val evalGrams = grams(docs.filter(col("doc_id") % 97 === 0))
+      .select(col("g")).distinct()
+    val evalSide = if (s.conf.getOption("graft.decontam.broadcast").forall(_.toBoolean))
+      broadcast(evalGrams) else evalGrams
+    val counts = grams(docs.filter(col("doc_id") % 97 =!= 0))
+      .join(evalSide.withColumn("hit", lit(1)), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hits"))
+    docs.filter(col("doc_id") % 97 =!= 0).select(col("doc_id"))
+      .join(counts, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_grams", "n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x03Sql: String = {
+    val sel = (0 until DecontamN).map(k => s"toks[i+$k]").mkString(" || ' ' || ")
+    s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |series AS (SELECT i FROM generate_series(1, 2048) t(i)),
+       |grams AS (
+       |  SELECT DISTINCT doc_id, $sel AS g
+       |  FROM docs JOIN series ON i <= length(toks) - ${DecontamN - 1}),
+       |eg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+       |agg AS (
+       |  SELECT t.doc_id, COUNT(*) AS n_grams, COUNT(e.g) AS n_hits
+       |  FROM grams t LEFT JOIN eg e ON t.g = e.g
+       |  WHERE t.doc_id % 97 <> 0
+       |  GROUP BY t.doc_id)
+       |SELECT d.doc_id, CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+       |  CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+       |LEFT JOIN agg USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_stratified_sample" -> (x01StratifiedSample _),
     "x02_shard_packing" -> (x02ShardPacking _),
+    "x03_decontaminate" -> (x03Decontaminate _),
     "d07_incremental_dedup" -> (d07IncrementalDedup _))
 
   val oracleSql: Map[String, String] = Map(
     "x01_stratified_sample" -> x01Sql,
     "x02_shard_packing" -> x02Sql,
+    "x03_decontaminate" -> x03Sql,
     "d07_incremental_dedup" -> d07Sql)
 }

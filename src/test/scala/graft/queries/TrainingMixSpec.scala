@@ -118,4 +118,29 @@ class TrainingMixSpec extends AnyFunSuite {
     // the corpus exercises all three verdicts
     assert(Set("exact", "near", "keep").subsetOf(expected.map(_._2).toSet))
   }
+
+  test("x03 decontamination == sequential n-gram overlap recompute") {
+    // eval split: doc_id % 97 == 0 → doc 0 only here, a member of the
+    // identical-text cluster, so the cluster + near-dups must flag and the
+    // unique filler must not
+    def grams(text: String): Set[String] =
+      text.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val evalSet = corpus.filter(_._1 % 97 == 0).flatMap(c => grams(c._2)).toSet
+    val expected = corpus.filter(_._1 % 97 != 0).map { case (id, text, _) =>
+      val g = grams(text)
+      (id, g.size.toLong, g.count(evalSet.contains).toLong)
+    }.sortBy(_._1)
+    val got = TrainingMix.queries("x03_decontaminate")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // both classes present: contaminated (cluster/near-dups) and clean filler
+    assert(expected.exists(_._3 > 0) && expected.exists(_._3 == 0L))
+    // the shuffle-join fallback path produces identical rows
+    spark.conf.set("graft.decontam.broadcast", "false")
+    try {
+      val fb = TrainingMix.queries("x03_decontaminate")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(fb == expected)
+    } finally spark.conf.unset("graft.decontam.broadcast")
+  }
 }
