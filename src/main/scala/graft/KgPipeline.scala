@@ -169,23 +169,11 @@ object KgPipeline {
     // seed: the most-referenced parent topic (deterministic)
     val seed = during.groupBy(col("parent")).count()
       .orderBy(col("count").desc, col("parent")).limit(1).select(col("parent"))
-    var reach = seed.withColumnRenamed("parent", "node").localCheckpoint(true)
-    // frontier loop under Aqe.without: tiny per-round frames, AQE barriers
-    // would dominate each round (graft.plans.Aqe)
-    graft.plans.Aqe.without(s) {
-      var frontier = reach
-      var done = false
-      var it = 0
-      while (!done && it < 8) { // day-page nesting is bounded (≤4)
-        val next = during.join(frontier.withColumnRenamed("node", "parent"), Seq("parent"))
-          .select(col("child").as("node")).distinct()
-          .join(reach, Seq("node"), "left_anti")
-          .localCheckpoint(true)
-        if (next.isEmpty) done = true
-        else { reach = reach.union(next).localCheckpoint(true); frontier = next }
-        it += 1
-      }
-    }
+    // fixpoint frontier loop (canon.Reach): the oracle's recursive CTE has
+    // no depth cap, and neither may this side — a fixed 8-round cap here
+    // silently dropped the sf0.1 graph's depth-9 tail (r4 cross-SF find)
+    val reach = graft.canon.Reach.closure(during,
+      seed.withColumnRenamed("parent", "node"))
     val eventDates = t.filter(col("pred") === edgePred(Ns.COY + "hasMentionDate") &&
         col("subj").startsWith(Ns.events))
       .select(col("subj").as("node"), substring(col("obj"), 1, 7).as("ym"))

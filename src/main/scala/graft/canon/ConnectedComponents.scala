@@ -65,6 +65,13 @@ object ConnectedComponents {
       it += 1
     }
     sym.unpersist(blocking = false)
+    // pointer jumping halves the tree height per round: 30 rounds cover any
+    // component with diameter < 2^30. If we ever DO hit the cap, the
+    // assignment is not a fixpoint — refuse to return it silently (same
+    // policy as Reach.closure; a truncated closure cost kg04 an oracle row)
+    require(converged, s"ConnectedComponents did not converge in $maxIter " +
+      "pointer-jumping rounds — component diameter beyond 2^maxIter or a " +
+      "livelock; refusing to return a non-fixpoint labeling")
     assign
   }
 }
