@@ -51,6 +51,11 @@ object Graph {
       else { acc = acc.union(next); frontier = next }
       it += 1
     }
+    // same policy as canon.Reach: the cap is a corruption guard (the tree
+    // depth is log2(n), so 64 covers any conceivable corpus), never a
+    // silent truncation of the result
+    require(done, "g02 BFS did not reach the leaves in 64 rounds — " +
+      "doc_id tree deeper than 2^64 is impossible, so the input is corrupt")
     acc.select(col("doc_id"), col("depth").cast(IntegerType).as("depth"))
       .orderBy(col("doc_id"))
   }
