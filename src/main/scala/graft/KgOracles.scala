@@ -70,8 +70,9 @@ object KgOracles {
        |         AND EXISTS (SELECT 1 FROM topics x WHERE x.subj = m.subj))
        |SELECT y, COUNT(*) AS n_topics FROM md GROUP BY y ORDER BY y""".stripMargin
 
-  // kg04: the bounded isOccuringDuring closure from the most-referenced
-  // parent — a recursive CTE replaces the engine's frontier loop.
+  // kg04: the isOccuringDuring closure (to fixpoint, like the engine's
+  // canon.Reach frontier loop) from the most-referenced parent — a
+  // recursive CTE replaces the loop.
   val kg04Sql: String =
     s"""WITH RECURSIVE
        |e AS (SELECT DISTINCT subj AS child, obj AS parent FROM ${t("kg_triples")}

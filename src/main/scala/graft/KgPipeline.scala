@@ -161,7 +161,7 @@ object KgPipeline {
   }
 
   // Q3: transitive isOccuringDuring closure from a seed topic, events per
-  // month (create_events_per_month_diagram.py:31-38) — bounded iterative join
+  // month (create_events_per_month_diagram.py:31-38) — fixpoint iterative join
   def kg04ClosureEventsPerMonth(s: SparkSession, d: String): DataFrame = {
     val t = edges(s, d) // date-deduped once, shared across kg02-kg08
     val during = t.filter(col("pred") === edgePred(Ns.COY + "isOccuringDuring"))
