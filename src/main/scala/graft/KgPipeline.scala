@@ -166,14 +166,18 @@ object KgPipeline {
     val t = edges(s, d) // date-deduped once, shared across kg02-kg08
     val during = t.filter(col("pred") === edgePred(Ns.COY + "isOccuringDuring"))
       .select(col("subj").as("child"), col("obj").as("parent"))
-    // seed: the most-referenced parent topic (deterministic)
+    // seed: the most-referenced parent topic (deterministic). Materialized
+    // HERE, before Reach.closure's AQE-off window: this groupBy + global
+    // sort runs over the full edge set — the one non-tiny frame of the
+    // query — and must keep AQE's coalescing, unlike the loop's per-round
+    // frames.
     val seed = during.groupBy(col("parent")).count()
-      .orderBy(col("count").desc, col("parent")).limit(1).select(col("parent"))
+      .orderBy(col("count").desc, col("parent")).limit(1)
+      .select(col("parent").as("node")).localCheckpoint(true)
     // fixpoint frontier loop (canon.Reach): the oracle's recursive CTE has
     // no depth cap, and neither may this side — a fixed 8-round cap here
     // silently dropped the sf0.1 graph's depth-9 tail (r4 cross-SF find)
-    val reach = graft.canon.Reach.closure(during,
-      seed.withColumnRenamed("parent", "node"))
+    val reach = graft.canon.Reach.closure(during, seed)
     val eventDates = t.filter(col("pred") === edgePred(Ns.COY + "hasMentionDate") &&
         col("subj").startsWith(Ns.events))
       .select(col("subj").as("node"), substring(col("obj"), 1, 7).as("ym"))

@@ -17,6 +17,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // PREFLIGHT: the DuckDB oracles window their per-position scans (MinHash
+    // substr, shingle/gram joins) with generate_series(1, 2048) — a DuckDB
+    // 1.0 constant-only limit. The Spark side is unbounded, so a text longer
+    // than the window would make the ORACLE the silently-truncated side and
+    // the gate would report a baffling mismatch. Fail loudly up front
+    // instead (current corpora max ~577 chars; same silent-cap class as the
+    // kg04 depth find).
+    val maxLen = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("max(length(text)) AS m").collect().head.getInt(0)
+    require(maxLen <= 2040,
+      s"documents.text max length $maxLen exceeds the oracle series window " +
+        "(2048 incl. gram tails) — widen generate_series in the oracle SQL " +
+        "before trusting the gate")
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -43,7 +43,12 @@ object ConnectedComponents {
 
     var converged = false
     var it = 0
-    while (!converged && it < maxIter) {
+    // maxIter + 1 total rounds: convergence is only OBSERVED by the
+    // no-change round after the last productive one, so a labeling that
+    // needs exactly maxIter productive rounds must get its confirming round
+    // instead of being rejected at the boundary (same off-by-one class as
+    // Reach.closure's productive-round guard)
+    while (!converged && it < maxIter + 1) {
       // 1-hop propagation: comp'(n) = min(comp(n), min_{v∈N(n)} comp(v));
       // the previous assignment rides along so convergence is a filter on
       // the checkpointed result, not a join + recompute

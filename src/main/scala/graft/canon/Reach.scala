@@ -30,20 +30,28 @@ object Reach {
       var reach = seed.select(col("node")).localCheckpoint(true)
       var frontier = reach
       var done = false
-      var it = 0
-      while (!done && it < maxRounds) {
+      var productive = 0
+      while (!done) {
         val next = childParent
           .join(frontier.withColumnRenamed("node", "parent"), Seq("parent"))
           .select(col("child").as("node")).distinct()
           .join(reach, Seq("node"), "left_anti")
           .localCheckpoint(true)
         if (next.isEmpty) done = true
-        else { reach = reach.union(next).localCheckpoint(true); frontier = next }
-        it += 1
+        else {
+          productive += 1
+          // guard only PRODUCTIVE rounds, so a closure of depth exactly
+          // maxRounds still gets its confirming empty round and succeeds.
+          // Cycles cannot trip this: the left_anti keeps every frontier
+          // strictly new, so a cyclic graph still converges in <= |nodes|
+          // rounds — only a graph deeper than maxRounds can.
+          require(productive <= maxRounds,
+            s"Reach.closure exceeded $maxRounds productive rounds — the edge " +
+              "graph is deeper than any sane topic nesting; refusing to " +
+              "return a silently truncated closure")
+          reach = reach.union(next).localCheckpoint(true); frontier = next
+        }
       }
-      require(done, s"Reach.closure did not reach fixpoint in $maxRounds rounds — " +
-        "the edge graph is deeper than any sane topic nesting (cycle or corrupt " +
-        "input?); refusing to return a silently truncated closure")
       reach
     }
   }

@@ -66,11 +66,16 @@ object Dedup {
   // over a materialized `toks` column — inlining split(text) here would
   // re-split the text on every element_at call inside the lambda (no CSE
   // across lambda boundaries): O(tokens²) per doc, measured 4.4 s vs sub-
-  // second at sf0.1
-  private val shingle3 =
-    "transform(sequence(1, size(toks) - 2), " +
-      "i -> concat(element_at(toks, i), ' ', " +
-      "element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"
+  // second at sf0.1. Shared with TrainingMix.x03 (same gram family).
+  // CALLER CONTRACT: rows must satisfy size(toks) >= n — sequence(1, k)
+  // with k <= 0 counts DOWN through index 0 and element_at(toks, 0) throws
+  // under ANSI mode. Every consumer filters short docs first (which is also
+  // what the DuckDB oracles do via the series join bound).
+  private[graft] def wordGramExpr(n: Int): String = {
+    val parts = (0 until n).map(k => s"element_at(toks, i + $k)").mkString(", ")
+    s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', $parts))"
+  }
+  private val shingle3 = wordGramExpr(3)
 
   // BoW fingerprint (d04's key); shared with TrainingMix.d07's exact probe
   // and the stateful streaming dedup (StreamingQueries.st03)

@@ -41,21 +41,23 @@ object Graph {
     var frontier = nodes.filter(col("doc_id") === 0)
       .select(col("doc_id"), lit(0).as("depth"))
     var acc = frontier
-    var it = 0
+    var productive = 0
     var done = false
-    while (!done && it < 64) {
+    while (!done) {
       val next = edges.join(frontier.withColumnRenamed("doc_id", "parent"), Seq("parent"))
         .select(col("child").as("doc_id"), (col("depth") + 1).as("depth"))
         .localCheckpoint(eager = true)
       if (next.isEmpty) done = true
-      else { acc = acc.union(next); frontier = next }
-      it += 1
+      else {
+        productive += 1
+        // same policy as canon.Reach: the cap is a corruption guard counting
+        // only PRODUCTIVE rounds (tree depth is log2(n); 64 covers any
+        // conceivable corpus), never a silent truncation of the result
+        require(productive <= 64, "g02 BFS exceeded 64 productive rounds — " +
+          "doc_id tree deeper than 2^64 is impossible, so the input is corrupt")
+        acc = acc.union(next); frontier = next
+      }
     }
-    // same policy as canon.Reach: the cap is a corruption guard (the tree
-    // depth is log2(n), so 64 covers any conceivable corpus), never a
-    // silent truncation of the result
-    require(done, "g02 BFS did not reach the leaves in 64 rounds — " +
-      "doc_id tree deeper than 2^64 is impossible, so the input is corrupt")
     acc.select(col("doc_id"), col("depth").cast(IntegerType).as("depth"))
       .orderBy(col("doc_id"))
   }

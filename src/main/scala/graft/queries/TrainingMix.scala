@@ -169,26 +169,30 @@ object TrainingMix {
   // match — measured: n=8 yields zero hits, n=3 yields 171 contaminated docs
   // at sf0.01); production decontamination uses n of 8-13 over the SAME plan
   // shape.
-  // Scale: the eval side is benchmark-sized (MBs against a 100 TB corpus),
-  // so its distinct gram set broadcasts (conf-gated with a shuffle-join
-  // fallback) and the corpus side never shuffles by gram. ONE gram scan
-  // feeds both counters — the broadcast left join tags eval hits in-stream
-  // and a single partial-agg groupBy(doc_id) emits (n_grams, n_hits)
-  // together, instead of two consumers recomputing the explode.
+  // Scale: a REAL eval set is benchmark-sized (MBs against a 100 TB corpus)
+  // and its gram set belongs on the broadcast side; here the deterministic
+  // 1/97 split SCALES WITH THE CORPUS, so the join is left to Spark/AQE by
+  // default (runtime size decides) and `graft.decontam.broadcast=true` is
+  // the explicit hint for genuinely small eval sets — a forced hint would
+  // bypass the size thresholds and OOM at scale. ONE gram scan feeds both
+  // counters — the left join tags eval hits in-stream and a single
+  // partial-agg groupBy(doc_id) emits (n_grams, n_hits) together, instead
+  // of two consumers recomputing the explode. Docs shorter than n tokens
+  // produce no gram rows (filtered BEFORE the gram lambda — see
+  // Dedup.wordGramExpr's caller contract) and land in the output spine as
+  // (doc_id, 0, 0), exactly like the oracle's series-join bound loses them.
   private val DecontamN = 3
-  private def gramExpr(n: Int): String = {
-    val parts = (0 until n).map(k => s"element_at(toks, i + $k)").mkString(", ")
-    s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', $parts))"
-  }
 
   def x03Decontaminate(s: SparkSession, d: String): DataFrame = {
     def grams(df: DataFrame): DataFrame = df
       .selectExpr("doc_id", "split(text, ' ') AS toks")
-      .selectExpr("doc_id", s"explode(array_distinct(${gramExpr(DecontamN)})) AS g")
+      .filter(size(col("toks")) >= DecontamN)
+      .selectExpr("doc_id",
+        s"explode(array_distinct(${Dedup.wordGramExpr(DecontamN)})) AS g")
     val docs = Tables.documents(s, d)
     val evalGrams = grams(docs.filter(col("doc_id") % 97 === 0))
       .select(col("g")).distinct()
-    val evalSide = if (s.conf.getOption("graft.decontam.broadcast").forall(_.toBoolean))
+    val evalSide = if (s.conf.getOption("graft.decontam.broadcast").exists(_.toBoolean))
       broadcast(evalGrams) else evalGrams
     val counts = grams(docs.filter(col("doc_id") % 97 =!= 0))
       .join(evalSide.withColumn("hit", lit(1)), Seq("g"), "left")

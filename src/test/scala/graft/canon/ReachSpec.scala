@@ -38,6 +38,20 @@ class ReachSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] {
       Reach.closure(chain, seedOf("n0"), maxRounds = 3).collect()
     }
-    assert(e.getMessage.contains("fixpoint"))
+    assert(e.getMessage.contains("truncated closure"))
+  }
+
+  test("a closure of depth exactly maxRounds succeeds (confirming round is free)") {
+    val chain = edges((1 to 4).map(i => s"n$i" -> s"n${i - 1}"): _*)
+    val got = Reach.closure(chain, seedOf("n0"), maxRounds = 4)
+      .collect().map(_.getString(0)).sorted
+    assert(got.toSeq == (0 to 4).map(i => s"n$i").sorted)
+  }
+
+  test("a cyclic graph converges instead of tripping the guard") {
+    val g = edges("b" -> "a", "c" -> "b", "a" -> "c") // 3-cycle
+    val got = Reach.closure(g, seedOf("a"), maxRounds = 8)
+      .collect().map(_.getString(0)).sorted
+    assert(got.toSeq == Seq("a", "b", "c"))
   }
 }

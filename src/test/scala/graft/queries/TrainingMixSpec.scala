@@ -135,12 +135,29 @@ class TrainingMixSpec extends AnyFunSuite {
     assert(got == expected)
     // both classes present: contaminated (cluster/near-dups) and clean filler
     assert(expected.exists(_._3 > 0) && expected.exists(_._3 == 0L))
-    // the shuffle-join fallback path produces identical rows
-    spark.conf.set("graft.decontam.broadcast", "false")
+    // the explicit broadcast-hint path (small-eval-set override) produces
+    // identical rows to the default let-Spark-decide plan
+    spark.conf.set("graft.decontam.broadcast", "true")
     try {
       val fb = TrainingMix.queries("x03_decontaminate")(spark, dir).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
       assert(fb == expected)
     } finally spark.conf.unset("graft.decontam.broadcast")
+  }
+
+  test("x03 survives sub-n-token docs: no gram rows, (id, 0, 0) in the spine") {
+    import spark.implicits._
+    // a 2-token train doc and a 1-token EVAL doc (doc_id 0): the gram lambda
+    // must never see them (sequence(1, k<=0) counts down through index 0 and
+    // element_at(toks, 0) throws under ANSI) — they fall out of the gram
+    // scan exactly like the oracle's series-join bound drops them
+    val d = Files.createTempDirectory("graft_tmix_short").toString
+    Seq((0L, "solo", "en"), (1L, "two tokens", "en"),
+      (2L, "three whole tokens here", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = TrainingMix.queries("x03_decontaminate")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 0L, 0L), (2L, 2L, 0L)))
   }
 }
