@@ -147,17 +147,77 @@ object TextAnalysis {
        |    CAST(greatest(length(regexp_extract_all(text, '$bpePattern')), 1) AS DOUBLE) AS bytes_per_token
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // Intra-document repetition signals (the Gopher-rule family: repetitious
+  // documents are boilerplate/spam and get filtered before training):
+  // duplicate-token fraction, duplicate word-2-gram fraction, and the mass of
+  // the single most frequent 2-gram. The 2-gram counts go through
+  // explode + two-level groupBy (map-side partial agg, shuffle keyed on
+  // (doc_id, gram)) instead of a per-row O(tokens²) array fold — per-doc
+  // work stays linear no matter how long a 100 TB corpus's docs get. Short
+  // docs (< 2 tokens) are filtered before the gram lambda
+  // (Dedup.wordGramExpr caller contract) and rejoin via the left join as
+  // zero-gram rows.
+  def t06Repetition(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).selectExpr("doc_id", "split(text, ' ') AS toks")
+    val base = docs.selectExpr(
+      "doc_id",
+      "CAST(size(toks) AS BIGINT) AS n_toks",
+      "CAST(size(toks) - size(array_distinct(toks)) AS BIGINT) AS dup_toks")
+    val gramCounts = docs.filter(size(col("toks")) >= 2)
+      .selectExpr("doc_id", s"explode(${Dedup.wordGramExpr(2)}) AS g")
+      .groupBy(col("doc_id"), col("g")).count()
+      .groupBy(col("doc_id")).agg(
+        sum(col("count")).as("n2"),
+        max(col("count")).as("topc"),
+        count(lit(1)).as("nd"))
+    base.join(gramCounts, Seq("doc_id"), "left")
+      .selectExpr(
+        "doc_id",
+        "CAST(coalesce(n2, CAST(0 AS BIGINT)) AS BIGINT) AS n_2grams",
+        "CASE WHEN n2 IS NULL THEN CAST(0.0 AS DOUBLE) " +
+          "ELSE CAST(n2 - nd AS DOUBLE) / CAST(n2 AS DOUBLE) END AS dup_2gram_frac",
+        "CASE WHEN n2 IS NULL THEN CAST(0.0 AS DOUBLE) " +
+          "ELSE CAST(topc AS DOUBLE) / CAST(n2 AS DOUBLE) END AS top_2gram_frac",
+        "CAST(dup_toks AS DOUBLE) / CAST(n_toks AS DOUBLE) AS dup_tok_frac")
+      .orderBy(col("doc_id"))
+  }
+
+  // Oracle: same grams via the constant series window (bounded by the Verify
+  // text-length preflight), same single-IEEE-division arithmetic.
+  val t06Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |cnt AS (
+      |  SELECT doc_id, t[i] || ' ' || t[i + 1] AS g, count(*) AS c
+      |  FROM toks, generate_series(1, 2048) s(i)
+      |  WHERE i <= len(t) - 1
+      |  GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT doc_id, sum(c) AS n2, max(c) AS topc, count(*) AS nd
+      |  FROM cnt GROUP BY 1)
+      |SELECT toks.doc_id,
+      |  CAST(coalesce(n2, 0) AS BIGINT) AS n_2grams,
+      |  CASE WHEN n2 IS NULL THEN CAST(0.0 AS DOUBLE)
+      |    ELSE CAST(n2 - nd AS DOUBLE) / CAST(n2 AS DOUBLE) END AS dup_2gram_frac,
+      |  CASE WHEN n2 IS NULL THEN CAST(0.0 AS DOUBLE)
+      |    ELSE CAST(topc AS DOUBLE) / CAST(n2 AS DOUBLE) END AS top_2gram_frac,
+      |  CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS dup_tok_frac
+      |FROM toks LEFT JOIN agg ON toks.doc_id = agg.doc_id
+      |ORDER BY toks.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> (t01TokenStats _),
     "t02_quality_score" -> (t02QualityScore _),
     "t03_lang_id" -> (t03LangId _),
     "t04_fingerprint" -> (t04Fingerprint _),
-    "t05_bpe_tokens" -> (t05BpeTokens _))
+    "t05_bpe_tokens" -> (t05BpeTokens _),
+    "t06_repetition" -> (t06Repetition _))
 
   val oracleSql: Map[String, String] = Map(
     "t01_token_stats" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t03_lang_id" -> t03Sql,
     "t04_fingerprint" -> t04Sql,
-    "t05_bpe_tokens" -> t05Sql)
+    "t05_bpe_tokens" -> t05Sql,
+    "t06_repetition" -> t06Sql)
 }

@@ -1,0 +1,41 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextAnalysisSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** t06 against hand-computed repetition fractions — independent of the
+    * DuckDB oracle (which shares the "count 2-grams" idea, so a shared
+    * misreading of the metric would pass the driver gate; these goldens are
+    * computed on paper from the definitions).
+    */
+  test("t06 repetition fractions match hand-computed goldens") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_t06").toString
+    Seq(
+      (0L, "a a a a"),      // grams: (a a)x3  -> n2=3 nd=1 top=3
+      (1L, "x"),            // no grams (short-doc path)
+      (2L, "w x y z"),      // all grams distinct -> n2=3 nd=3 top=1
+      (3L, "a b a b a"))    // grams: (a b)x2 (b a)x2 -> n2=4 nd=2 top=2
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = TextAnalysis.queries("t06_repetition")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    val want = Seq(
+      (0L, 3L, 2.0 / 3.0, 1.0, 3.0 / 4.0),
+      (1L, 0L, 0.0, 0.0, 0.0),
+      (2L, 3L, 0.0, 1.0 / 3.0, 0.0),
+      (3L, 4L, 0.5, 0.5, 3.0 / 5.0))
+    assert(got == want)
+  }
+}
