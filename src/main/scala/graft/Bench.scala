@@ -40,8 +40,13 @@ object Bench {
     // metrics build). With the builds hoisted, per-query numbers measure the
     // query plan and stay comparable across rounds; the builds stay visible
     // as their own entries instead of hiding inside one query.
+    // same failure policy as the per-query loop: a broken cache build records
+    // -1 on its own line and the dependent queries fail individually — it must
+    // not abort the bench and cost the round every unaffected timing
     def timed(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      val t0 = System.nanoTime()
+      try { f; (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
     }
     val cacheBuilds = Seq(
       "cache_edges" -> timed(KgPipeline.edges(spark, sfDir).count()),

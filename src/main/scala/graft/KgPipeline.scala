@@ -15,78 +15,45 @@ import graft.canon.ConnectedComponents
 object KgPipeline {
 
   // cache the triple table per (session, sf dir) — queries share one pipeline
-  // run. Keying by the session REFERENCE (ADVICE r3): a cached DataFrame is
-  // bound to the SparkSession that built it, so a restarted session must
-  // rebuild instead of receiving stale frames that fail at execution.
-  // (SparkSession does not override equals, so case-class equality here is
-  // reference equality — no identityHashCode collisions.) Entries of stopped
-  // sessions are purged on the next cache access: their blocks died with the
-  // context, and keeping the entry would pin the dead session's whole object
-  // graph for the life of the JVM.
-  private final case class CK(session: SparkSession, dir: String)
-  private def ck(spark: SparkSession, sfDir: String): CK = {
-    purgeDeadSessions()
-    CK(spark, sfDir)
-  }
-  private def purgeDeadSessions(): Unit =
-    Seq(cache, edgeCache, enrichedCache, metricsCache).foreach { m =>
-      val it = m.keySet().iterator()
-      while (it.hasNext) if (it.next().session.sparkContext.isStopped) it.remove()
-    }
-  // ConcurrentHashMap.computeIfAbsent, not TrieMap.getOrElseUpdate: the
-  // latter can evaluate the builder twice under concurrent first calls and
-  // leak the losing builder's materialized blocks. (The builders call into
-  // DIFFERENT maps only — edges→triples, metrics→enriched/triples — so no
-  // same-map reentrancy.)
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[CK, Dataset[Triple]]()
+  // run. plans.SessionCache carries the whole lifecycle discipline (session-
+  // reference keys, computeIfAbsent single-build, dead-session purge that is
+  // safe against same-map reentrancy — the edges builder calls triples(), so
+  // a purge-on-every-access scheme violated CHM's "mapping function must not
+  // modify this map" contract; see SessionCache's scaladoc).
+  private val cache = new graft.plans.SessionCache[Dataset[Triple]]("kg-triples")
   // one shared date-deduped (subj, pred, obj) edge projection: article-derived
   // triples repeat once per mention date (partition key), so every graph-shaped
   // query (kg02-kg08) needs the same distinct — run the shuffle ONCE, not per
   // query. Derived predicates of this cache are unique per (subj, obj).
-  private val edgeCache =
-    new java.util.concurrent.ConcurrentHashMap[CK, DataFrame]()
+  private val edgeCache = new graft.plans.SessionCache[DataFrame]("kg-edges")
   // kg10/kg12/kg13 all need the enriched-article frame and kg13 needs kg12's
   // metrics table — cache both per sf dir so the enrichment dataflow runs
   // once across the three queries instead of three times
   private val enrichedCache =
-    new java.util.concurrent.ConcurrentHashMap[CK, Dataset[EnrichedArticle]]()
-  private val metricsCache =
-    new java.util.concurrent.ConcurrentHashMap[CK, DataFrame]()
+    new graft.plans.SessionCache[Dataset[EnrichedArticle]]("kg-enriched")
+  private val metricsCache = new graft.plans.SessionCache[DataFrame]("kg-metrics")
 
   def triples(spark: SparkSession, sfDir: String): Dataset[Triple] =
-    cache.computeIfAbsent(ck(spark, sfDir),
-      _ => Pipeline.materializedTriples(spark, sfDir))
+    cache.get(spark, sfDir)(Pipeline.materializedTriples(spark, sfDir))
 
   /** Enriched articles, cached per sf (one enrichment job for kg10/kg12). */
   def enriched(spark: SparkSession, sfDir: String): Dataset[EnrichedArticle] =
-    enrichedCache.computeIfAbsent(ck(spark, sfDir), _ => {
+    enrichedCache.get(spark, sfDir) {
       val (e, stageCaches) = Pipeline.enrichedArticlesTracked(spark, Synth.paramsFor(sfDir))
       try graft.plans.Caches.leaf(e) // eager materialization + leaf plan
       finally stageCaches.foreach(_.unpersist(blocking = false))
-    })
-
-  /** Drop every per-sf cached block (bench/verify hygiene). The caches are
-    * checkpoint-backed (leaf plans), so Dataset.unpersist alone would be a
-    * no-op and reclamation would wait for driver GC; unpersist the
-    * checkpointed RDD behind each LogicalRDD leaf explicitly so blocks are
-    * freed deterministically between phases.
-    */
-  private def freeCheckpointBlocks(ds: Dataset[_]): Unit = {
-    ds.unpersist(blocking = false) // covers any persist-backed value
-    ds.queryExecution.analyzed.foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = false)
-      case _ => ()
     }
-  }
 
+  /** Drop every per-sf cached block (bench/verify hygiene). Caches.free
+    * unpersists the checkpointed RDD behind each LogicalRDD leaf (a plain
+    * Dataset.unpersist is a no-op there) and deletes reliable-checkpoint
+    * files so repeated build cycles don't grow the checkpoint store.
+    */
   def release(): Unit = {
-    cache.values.forEach(freeCheckpointBlocks(_))
-    edgeCache.values.forEach(freeCheckpointBlocks(_))
-    enrichedCache.values.forEach(freeCheckpointBlocks(_))
-    metricsCache.values.forEach(freeCheckpointBlocks(_))
-    cache.clear(); edgeCache.clear(); enrichedCache.clear(); metricsCache.clear()
+    cache.foreachValue(graft.plans.Caches.free(_)); cache.clear()
+    edgeCache.foreachValue(graft.plans.Caches.free(_)); edgeCache.clear()
+    enrichedCache.foreachValue(graft.plans.Caches.free(_)); enrichedCache.clear()
+    metricsCache.foreachValue(graft.plans.Caches.free(_)); metricsCache.clear()
   }
 
   /** Predicates the shared edge cache retains — the union of every kg-query
@@ -122,7 +89,7 @@ object KgPipeline {
     * analysis O(query), not O(copies × lineage) — see materializedTriples.
     */
   def edges(spark: SparkSession, sfDir: String): DataFrame =
-    edgeCache.computeIfAbsent(ck(spark, sfDir), _ =>
+    edgeCache.get(spark, sfDir)(
       graft.plans.Caches.leaf(triples(spark, sfDir)
         .filter(col("pred").isin(EdgePreds: _*))
         .select(col("subj"), col("pred"), col("obj")).distinct()))
@@ -360,12 +327,12 @@ object KgPipeline {
   // articleExtractor.py:50-63). One day-side parse pass + one broadcast-
   // joined article pass, rolled up per month.
   def kg12MonthlyMetrics(s: SparkSession, d: String): DataFrame =
-    metricsCache.computeIfAbsent(ck(s, d), _ => {
+    metricsCache.get(s, d) {
       val (raw, perDay) = kg12MonthlyMetricsUncached(s, d)
       // eager leaf materialization; kg13's window reads blocks, not a re-run
       try graft.plans.Caches.leaf(raw)
       finally perDay.unpersist(blocking = false)
-    })
+    }
 
   /** kg10's ground-truth table (generator location intent per article) —
     * public so graft.Verify can dump it as a DuckDB oracle input.

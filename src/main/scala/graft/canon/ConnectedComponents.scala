@@ -74,8 +74,9 @@ object ConnectedComponents {
     // component with diameter < 2^30. If we ever DO hit the cap, the
     // assignment is not a fixpoint — refuse to return it silently (same
     // policy as Reach.closure; a truncated closure cost kg04 an oracle row)
-    require(converged, s"ConnectedComponents did not converge in $maxIter " +
-      "pointer-jumping rounds — component diameter beyond 2^maxIter or a " +
+    require(converged, s"ConnectedComponents did not converge in ${maxIter + 1} " +
+      s"pointer-jumping rounds (maxIter=$maxIter productive + the confirming " +
+      "round) — diameter beyond what pointer jumping covers at this cap, or a " +
       "livelock; refusing to return a non-fixpoint labeling")
     assign
   }

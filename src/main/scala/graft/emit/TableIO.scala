@@ -234,36 +234,50 @@ object TableIO {
     // (subj, pred) pairs the new version re-asserts — the cascade's scope
     val pairs = current.select(col("subj").as("__p_subj"), col("pred").as("__p_pred"))
       .distinct()
-    val stale = all.filter(!col(partCol).isin(newKeys: _*))
-      .filter(!expr(exemptExpr))
-      .join(subjects, Seq("subj"), "left_semi")
-      .join(pairs,
-        col("subj") === col("__p_subj") && col("pred") === col("__p_pred"),
-        "left_semi")
-      .join(curCmp, payloadCond, "left_anti")
-    // the affected-partition list is small by construction (bounded by the
-    // table's partition count) — the only driver-side collect here
-    val affected = stale.select(col(partCol)).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
-    if (affected.isEmpty) currentManifest(table)
-    else {
-      // keep = affected rows MINUS the stale rows (null-safe full-row anti
-      // join: one complementary definition instead of re-deriving the keep
-      // branches, so keep ∪ stale ≡ affected by construction)
-      val allCols = all.columns.toSeq
-      val staleCmp = stale.select(allCols.map(c => col(c).as(s"__st_$c")): _*)
-      val affRows = all.filter(col(partCol).isin(affected: _*))
-      val kept = affRows.join(staleCmp,
-        allCols.map(c => col(c) <=> col(s"__st_$c")).reduce(_ && _), "left_anti")
-      // carry the affected partitions' lineage metrics forward: they describe
-      // the original month build (timings, parse errors, emit counters) and
-      // compaction must not erase that history; rows/files are re-counted
-      // from the rewritten layout by replacePartitions itself
-      val prevMeta = currentManifest(table).partitions
-      replacePartitions(spark, table, kept, partCol, affected,
-        metricsFn = _ => affected.map(k =>
-          k -> prevMeta.get(k).map(_.metrics).getOrElse(Map.empty[String, Long])).toMap)
-    }
+    // the stale-detection chain (table scan + two semi joins + null-safe
+    // payload anti join) is the expensive half of compaction — materialize it
+    // as a leaf ONCE: the affected-partition collect below reads blocks and
+    // the keep-side anti join reuses them instead of recomputing the chain
+    val stale = graft.plans.Caches.leaf(
+      all.filter(!col(partCol).isin(newKeys: _*))
+        .filter(!expr(exemptExpr))
+        .join(subjects, Seq("subj"), "left_semi")
+        .join(pairs,
+          col("subj") === col("__p_subj") && col("pred") === col("__p_pred"),
+          "left_semi")
+        .join(curCmp, payloadCond, "left_anti"))
+    try {
+      // the affected-partition list is small by construction (bounded by the
+      // table's partition count) — the only driver-side collect here
+      val affected = stale.select(col(partCol)).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      if (affected.isEmpty) currentManifest(table)
+      else {
+        // keep = affected rows MINUS the stale rows (null-safe full-row anti
+        // join: one complementary definition instead of re-deriving the keep
+        // branches, so keep ∪ stale ≡ affected by construction)
+        val allCols = all.columns.toSeq
+        val staleCmp = stale.select(allCols.map(c => col(c).as(s"__st_$c")): _*)
+        val affRows = all.filter(col(partCol).isin(affected: _*))
+        // leaf-materialize the keep side BEFORE the rewrite: replacePartitions'
+        // dynamic overwrite deletes the very parquet files this plan reads, so
+        // a lazy `kept` would recompute from deleted files if any persisted
+        // block were lost after the commit (post-commit counts/metricsFn) —
+        // data already rewritten, job failed, manifest diverged. Materializing
+        // severs the read-from-overwritten-source cycle.
+        val kept = graft.plans.Caches.leaf(affRows.join(staleCmp,
+          allCols.map(c => col(c) <=> col(s"__st_$c")).reduce(_ && _), "left_anti"))
+        // carry the affected partitions' lineage metrics forward: they describe
+        // the original month build (timings, parse errors, emit counters) and
+        // compaction must not erase that history; rows/files are re-counted
+        // from the rewritten layout by replacePartitions itself
+        val prevMeta = currentManifest(table).partitions
+        try replacePartitions(spark, table, kept, partCol, affected,
+          metricsFn = _ => affected.map(k =>
+            k -> prevMeta.get(k).map(_.metrics).getOrElse(Map.empty[String, Long])).toMap)
+        finally graft.plans.Caches.free(kept)
+      }
+    } finally graft.plans.Caches.free(stale)
   }
 
   /** Read the committed snapshot (only partitions listed in the manifest). */

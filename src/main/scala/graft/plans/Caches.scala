@@ -33,4 +33,30 @@ object Caches {
       ds.checkpoint(eager = true)
     } else ds.localCheckpoint(eager = true)
   }
+
+  /** Free everything a [[leaf]]-materialized frame holds. Dataset.unpersist
+    * alone is a no-op on a checkpoint-backed leaf (the blocks belong to the
+    * RDD behind the LogicalRDD, and reclamation would wait for driver GC), so
+    * the checkpointed RDD is unpersisted explicitly; and in reliable mode the
+    * ReliableCheckpointRDD's files are DELETED — Spark only garbage-collects
+    * them under spark.cleaner.referenceTracking.cleanCheckpoints (default
+    * false) and never at context stop, so without this each rebuild cycle
+    * would grow the checkpoint store by a full copy of the cached frame.
+    * Call only after every consumer of the frame has finished.
+    */
+  def free(ds: Dataset[_]): Unit = {
+    ds.unpersist(blocking = false) // covers any persist-backed value
+    val sc = ds.sparkSession.sparkContext
+    ds.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+        l.rdd.getCheckpointFile.foreach { p => // reliable mode only
+          try {
+            val path = new org.apache.hadoop.fs.Path(p)
+            path.getFileSystem(sc.hadoopConfiguration).delete(path, true)
+          } catch { case scala.util.control.NonFatal(_) => () }
+        }
+      case _ => ()
+    }
+  }
 }

@@ -94,21 +94,16 @@ object Dedup {
   private case class Prologue(groups: DataFrame,
       groupPairs: DataFrame, sigs: DataFrame)
 
-  // ConcurrentHashMap.computeIfAbsent, not TrieMap.getOrElseUpdate: the
-  // latter can run the builder twice under concurrent first calls, and the
-  // losing builder's persisted blocks would leak. Keyed by the session
-  // REFERENCE (case-class equality on SparkSession is reference equality) —
-  // a frame from a dead/restarted session must not be served, and stopped
-  // sessions' entries are purged on the next access so they don't pin the
-  // dead session's object graph (their blocks died with the context).
-  private final case class PK(session: SparkSession, dir: String)
+  // plans.SessionCache: session-reference keys, single-build computeIfAbsent
+  // (a TrieMap.getOrElseUpdate could run the builder twice under concurrent
+  // first calls and leak the losing builder's persisted blocks), and a
+  // reentrancy-safe dead-session purge — one shared lifecycle implementation
+  // with KgPipeline's four caches.
   private val prologueCache =
-    new java.util.concurrent.ConcurrentHashMap[PK, Prologue]()
+    new graft.plans.SessionCache[Prologue]("dedup-lsh-prologue")
 
-  private def prologue(s: SparkSession, d: String): Prologue = {
-    val it = prologueCache.keySet().iterator()
-    while (it.hasNext) if (it.next().session.sparkContext.isStopped) it.remove()
-    prologueCache.computeIfAbsent(PK(s, d), _ => {
+  private def prologue(s: SparkSession, d: String): Prologue =
+    prologueCache.get(s, d) {
       val docs = Tables.documents(s, d)
         .filter(size(split(col("text"), " ")) >= 3)
       val groups = docs.selectExpr("doc_id", s"$bowFp AS fp")
@@ -131,12 +126,11 @@ object Dedup {
         groups.unpersist(blocking = false); throw t
       }
       Prologue(groups, groupPairs, sigs)
-    })
-  }
+    }
 
   /** Drop the cached LSH prologue blocks (bench/verify hygiene). */
   def release(): Unit = {
-    prologueCache.values.forEach { p =>
+    prologueCache.foreachValue { p =>
       p.sigs.unpersist(blocking = false)
       p.groups.unpersist(blocking = false)
     }
