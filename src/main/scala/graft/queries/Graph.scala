@@ -71,11 +71,72 @@ object Graph {
       |  WHERE d.doc_id > 0)
       |SELECT doc_id, CAST(depth AS INT) AS depth FROM r ORDER BY doc_id""".stripMargin
 
+  // g03: PageRank, the canonical web-scale iterative operator. Graph: every
+  // doc links to (id+1) % N (ring — guarantees in-degree >= 1 everywhere) and
+  // (2*id+1) % N (doubling shortcut), so out-degree is exactly 2 and there
+  // are no dangling nodes to special-case. Fixed 8 power iterations with
+  // damping 0.85 in SCALED INTEGER arithmetic (pr in 1e-12 units): float
+  // PageRank can never be driver-hash-exact because double addition is not
+  // associative and shuffle order varies, but BIGINT sums are exact and
+  // order-free, and both engines define DIV/% identically on nonnegative
+  // ints. Per iteration: contribution = pr DIV outdeg (outdeg == 2), then
+  // pr' = (15 * (SCALE DIV N)) DIV 100 + (85 * sum_in) DIV 100.
+  // Scale shape: the loop is join(pr, edges on src) + groupBy(dst) sum —
+  // the same shuffle pair a 100 TB PageRank runs, with the edge frame
+  // checkpointed once and reused; rounds are fixed (no convergence collect).
+  private val PrScale = 1000000000000L
+  private val PrIters = 8
+
+  def g03PageRank(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id")).localCheckpoint(true)
+    val n = docs.count() // one count over the cached id column
+    val edges = docs.selectExpr("doc_id AS src", s"(doc_id + 1) % $n AS dst")
+      .unionAll(docs.selectExpr("doc_id AS src", s"(doc_id * 2 + 1) % $n AS dst"))
+      .localCheckpoint(eager = true) // reused every round
+    val teleport = 15L * (PrScale / n) / 100
+    graft.plans.Aqe.without(s) {
+      var pr = docs.selectExpr("doc_id AS node", s"CAST(${PrScale / n} AS BIGINT) AS pr")
+      for (_ <- 1 to PrIters) {
+        pr = edges.join(pr.withColumnRenamed("node", "src"), Seq("src"))
+          .selectExpr("dst", "pr DIV 2 AS c")
+          .groupBy(col("dst")).agg(sum(col("c")).as("sum_in"))
+          .selectExpr("dst AS node", s"$teleport + (85 * sum_in) DIV 100 AS pr")
+          .localCheckpoint(eager = true) // leaf per round: plans stay O(round)
+      }
+      pr.selectExpr("node AS doc_id", "pr AS pr_e12").orderBy(col("doc_id"))
+    }
+  }
+
+  // The oracle unrolls the 8 iterations as a CTE chain (recursive CTEs cannot
+  // aggregate over the recursive reference). CASTs keep DuckDB's sum() from
+  // widening to HUGEINT and breaking BIGINT schema parity.
+  val g03Sql: String = {
+    val n = "(SELECT count(*) FROM documents)"
+    val head =
+      s"""WITH e AS (
+         |  SELECT doc_id AS src, (doc_id + 1) % $n AS dst FROM documents
+         |  UNION ALL
+         |  SELECT doc_id AS src, (doc_id * 2 + 1) % $n AS dst FROM documents),
+         |p0 AS (SELECT doc_id AS node, CAST($PrScale // $n AS BIGINT) AS pr FROM documents)""".stripMargin
+    val iters = (1 to PrIters).map { i =>
+      s"""p$i AS (
+         |  SELECT e.dst AS node,
+         |    CAST((15 * ($PrScale // $n)) // 100
+         |      + (85 * CAST(sum(p${i - 1}.pr // 2) AS BIGINT)) // 100 AS BIGINT) AS pr
+         |  FROM e JOIN p${i - 1} ON e.src = p${i - 1}.node
+         |  GROUP BY e.dst)""".stripMargin
+    }
+    (Seq(head) ++ iters).mkString(",\n") +
+      s"\nSELECT node AS doc_id, pr AS pr_e12 FROM p$PrIters ORDER BY node"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_cc_chains" -> (g01CcChains _),
-    "g02_tree_depth" -> (g02TreeDepth _))
+    "g02_tree_depth" -> (g02TreeDepth _),
+    "g03_pagerank" -> (g03PageRank _))
 
   val oracleSql: Map[String, String] = Map(
     "g01_cc_chains" -> g01Sql,
-    "g02_tree_depth" -> g02Sql)
+    "g02_tree_depth" -> g02Sql,
+    "g03_pagerank" -> g03Sql)
 }
