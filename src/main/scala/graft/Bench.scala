@@ -40,9 +40,11 @@ object Bench {
     // metrics build). With the builds hoisted, per-query numbers measure the
     // query plan and stay comparable across rounds; the builds stay visible
     // as their own entries instead of hiding inside one query.
-    // same failure policy as the per-query loop: a broken cache build records
-    // -1 on its own line and the dependent queries fail individually — it must
-    // not abort the bench and cost the round every unaffected timing
+    // Failure policy, uniform for cache builds AND queries: a broken entry
+    // records -1 on its own line (unambiguous in round-over-round reads — a
+    // wall-time-of-the-failure number would masquerade as a healthy lap) and
+    // must not abort the bench and cost the round every unaffected timing.
+    // Failed entries are excluded from the headline total.
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime()
       try { f; (System.nanoTime() - t0) / 1e9 }
@@ -53,13 +55,11 @@ object Bench {
       "cache_enriched" -> timed(KgPipeline.enriched(spark, sfDir).count()),
       "cache_metrics" -> timed(KgPipeline.kg12MonthlyMetrics(spark, sfDir).count()))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> timed(fn(spark, sfDir).count())
     }
     val qs = (cacheBuilds ++ results).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum + cacheBuilds.map(_._2).sum + kgSecs
+    val total = (results ++ cacheBuilds).map(_._2).filter(_ >= 0).sum + kgSecs
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""kg_docs":$docs,"kg_pipeline_sec":$kgSecs,"kg_docs_per_sec":${docs / kgSecs},"sf":"$sfDir"}"""
     println(line)

@@ -24,8 +24,8 @@ object Verify {
     // the gate would report a baffling mismatch. Fail loudly up front
     // instead (current corpora max ~577 chars; same silent-cap class as the
     // kg04 depth find).
-    val maxLen = spark.read.parquet(s"$sfDir/documents.parquet")
-      .selectExpr("max(length(text)) AS m").collect().head.getInt(0)
+    val maxLen = graft.queries.Tables.documents(spark, sfDir)
+      .selectExpr("coalesce(max(length(text)), 0) AS m").collect().head.getInt(0)
     require(maxLen <= 2040,
       s"documents.text max length $maxLen exceeds the oracle series window " +
         "(2048 incl. gram tails) — widen generate_series in the oracle SQL " +

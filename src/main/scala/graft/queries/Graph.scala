@@ -90,6 +90,8 @@ object Graph {
   def g03PageRank(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id")).localCheckpoint(true)
     val n = docs.count() // one count over the cached id column
+    require(n > 0, "g03 PageRank needs a non-empty documents table — " +
+      "the ring edges and the 1/N teleport mass are undefined at N = 0")
     val edges = docs.selectExpr("doc_id AS src", s"(doc_id + 1) % $n AS dst")
       .unionAll(docs.selectExpr("doc_id AS src", s"(doc_id * 2 + 1) % $n AS dst"))
       .localCheckpoint(eager = true) // reused every round
