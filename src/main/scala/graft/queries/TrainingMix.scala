@@ -224,15 +224,59 @@ object TrainingMix {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // x04: temperature-scaled mixture weights — the sampling-alpha operator of
+  // multilingual/multi-source training (upweight small sources relative to
+  // their token share). Per source: token mass, proportional weight (α=1)
+  // and α=0.5 temperature weight, both in exact e6 units. The α=0.5 path is
+  // the only float op in the pipeline's oracle surface and is safe: IEEE 754
+  // requires sqrt to be correctly rounded, an integer < 2^52 is exact as a
+  // DOUBLE, so floor(sqrt(x)) is the same integer in Spark and DuckDB; all
+  // sums/divisions stay BIGINT (order-free). Scale shape: one map-side-
+  // combinable groupBy(source) over the corpus (source cardinality is tiny),
+  // then a broadcast of the one-row totals frame.
+  def x04TemperatureMix(s: SparkSession, d: String): DataFrame = {
+    val nTok = "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
+    val per = Tables.documents(s, d).selectExpr("source", s"$nTok AS nt")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .selectExpr("source", "n_docs", "n_tokens",
+        "CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS st")
+    val tot = per.selectExpr("sum(n_tokens) AS tot_tokens", "sum(st) AS tot_st")
+    per.crossJoin(broadcast(tot))
+      .selectExpr("source", "n_docs", "n_tokens",
+        "(1000000 * n_tokens) DIV tot_tokens AS w_prop_e6",
+        "(1000000 * st) DIV tot_st AS w_sqrt_e6")
+      .orderBy(col("source"))
+  }
+
+  val x04Sql: String =
+    """WITH per AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |per2 AS (
+      |  SELECT source, n_docs, n_tokens,
+      |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS st
+      |  FROM per),
+      |tot AS (
+      |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+      |    CAST(sum(st) AS BIGINT) AS tot_st FROM per2)
+      |SELECT source, n_docs, n_tokens,
+      |  (1000000 * n_tokens) // tot_tokens AS w_prop_e6,
+      |  (1000000 * st) // tot_st AS w_sqrt_e6
+      |FROM per2, tot ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_stratified_sample" -> (x01StratifiedSample _),
     "x02_shard_packing" -> (x02ShardPacking _),
     "x03_decontaminate" -> (x03Decontaminate _),
+    "x04_temperature_mix" -> (x04TemperatureMix _),
     "d07_incremental_dedup" -> (d07IncrementalDedup _))
 
   val oracleSql: Map[String, String] = Map(
     "x01_stratified_sample" -> x01Sql,
     "x02_shard_packing" -> x02Sql,
     "x03_decontaminate" -> x03Sql,
+    "x04_temperature_mix" -> x04Sql,
     "d07_incremental_dedup" -> d07Sql)
 }

@@ -145,6 +145,25 @@ class TrainingMixSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.decontam.broadcast")
   }
 
+  test("x04 temperature weights match hand-computed e6 goldens") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_tmix_x04").toString
+    // srcA: 100 tokens, srcB: 400 tokens → tot 500
+    // w_prop_e6: 200000 / 800000; st: isqrt(100)=10, isqrt(400)=20, tot 30
+    // w_sqrt_e6: 10^7//30 = 333333 / 2*10^7//30 = 666666 — the α=0.5
+    // temperature upweights the small source (0.20 → 0.33 of the mix)
+    Seq((0L, Seq.fill(100)("w").mkString(" "), "en", "srcA"),
+      (1L, Seq.fill(400)("w").mkString(" "), "en", "srcB"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = TrainingMix.queries("x04_temperature_mix")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq(
+      ("srcA", 1L, 100L, 200000L, 333333L),
+      ("srcB", 1L, 400L, 800000L, 666666L)))
+  }
+
   test("x03 survives sub-n-token docs: no gram rows, (id, 0, 0) in the spine") {
     import spark.implicits._
     // a 2-token train doc and a 1-token EVAL doc (doc_id 0): the gram lambda
