@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
-/** Relational operator surface: aggregation, joins (broadcast / semi / anti),
-  * windows, set ops, rollup, top-k. These are the Spark-native counterparts of
+/** Relational operator surface: aggregation, joins (broadcast / semi / anti /
+  * as-of), windows, set ops, rollup, top-k. These are the Spark-native counterparts of
   * the reference's aggregation + query layer (SURVEY.md §2.5, §2.8 A1-A5,
   * Q1/Q5/Q6/Q9 shapes) expressed over the driver-provided TPC-H-ish tables so
   * that every one has an exact DuckDB oracle.
@@ -279,6 +279,57 @@ object Relational {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, event_id""".stripMargin
 
+  // q15: AS-OF JOIN — each event picks the latest order of the same customer
+  // at or before the event time. Spark has no native as-of join; the naive
+  // compositions are a per-row correlated subquery (driver-side, non-starter)
+  // or an inequality range join (O(events × orders-per-key) row explosion).
+  // This is the scale-correct composition: tag both inputs, UNION, and take
+  // `last(_, ignoreNulls)` over a (key, time)-ordered running window — ONE
+  // shuffle on the join key, linear in |events| + |orders|, the same shape a
+  // 100 TB point-in-time feature join runs. Tie semantics: an order at
+  // exactly the event timestamp IS visible (as-of <=), enforced by sorting
+  // order rows (is_event=0) before event rows at equal t; orders are first
+  // deduped to one row per (customer, date) by max orderkey, so equal-t
+  // events read one deterministic order row. Both asof_* columns ride the
+  // same window, so they always come from the same order row. The oracle is
+  // DuckDB's NATIVE ASOF LEFT JOIN over the same deduped order set.
+  def q15AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val dedup = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey").desc)
+    val ord = Tables.orders(s, d)
+      .withColumn("rn", row_number().over(dedup)).filter(col("rn") === 1)
+      .select(col("o_custkey").as("user_id"), col("o_orderdate").as("t"),
+        lit(0).as("is_event"), lit(null).cast(LongType).as("event_id"),
+        col("o_orderkey"), col("o_totalprice"))
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts").as("t"), lit(1).as("is_event"),
+        col("event_id"), lit(null).cast(LongType).as("o_orderkey"),
+        lit(null).cast(DoubleType).as("o_totalprice"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("is_event"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord.unionByName(ev)
+      .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("asof_totalprice", last(col("o_totalprice"), ignoreNulls = true).over(w))
+      .filter(col("is_event") === 1)
+      .select(col("event_id"), col("user_id"),
+        col("asof_orderkey"), col("asof_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
+  val q15Sql: String =
+    """WITH od AS (
+      |  SELECT * FROM (
+      |    SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+      |      row_number() OVER (PARTITION BY o_custkey, o_orderdate
+      |                         ORDER BY o_orderkey DESC) AS rn
+      |    FROM orders) WHERE rn = 1)
+      |SELECT e.event_id, e.user_id,
+      |  od.o_orderkey AS asof_orderkey, od.o_totalprice AS asof_totalprice
+      |FROM events e
+      |ASOF LEFT JOIN od ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+      |ORDER BY e.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_events_per_year" -> (q02EventsPerYear _),
@@ -293,7 +344,8 @@ object Relational {
     "q11_nation_union" -> (q11NationUnion _),
     "q12_top_orders" -> (q12TopOrders _),
     "q13_orders_rollup" -> (q13OrdersRollup _),
-    "q14_user_event_deltas" -> (q14UserEventDeltas _))
+    "q14_user_event_deltas" -> (q14UserEventDeltas _),
+    "q15_asof_join" -> (q15AsofJoin _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -309,5 +361,6 @@ object Relational {
     "q11_nation_union" -> q11Sql,
     "q12_top_orders" -> q12Sql,
     "q13_orders_rollup" -> q13Sql,
-    "q14_user_event_deltas" -> q14Sql)
+    "q14_user_event_deltas" -> q14Sql,
+    "q15_asof_join" -> q15Sql)
 }

@@ -1,0 +1,57 @@
+package graft.queries
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class RelationalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** q15 as-of semantics, pinned by hand against the definition (latest order
+    * with o_orderdate <= ts, same customer) — independent of the DuckDB
+    * ASOF JOIN oracle, so a shared misreading of tie rules can't pass:
+    *  - an event BEFORE any order gets nulls (left as-of);
+    *  - an order at EXACTLY the event timestamp is visible (<=, not <);
+    *  - two orders on the same (customer, date) collapse to max orderkey;
+    *  - a later event sees the latest of several orders, not the first;
+    *  - customers never ordered stay null; other users' orders never leak.
+    */
+  test("q15 as-of join matches hand-computed goldens") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_q15").toString
+    def ts(s: String) = Timestamp.valueOf(s)
+    Seq(
+      (10L, 1L, "O", 11.0, ts("2024-01-05 00:00:00"), "1-URGENT"),
+      (11L, 1L, "O", 12.0, ts("2024-01-05 00:00:00"), "1-URGENT"), // same date: max key (11) wins
+      (12L, 1L, "O", 13.0, ts("2024-02-01 00:00:00"), "1-URGENT"),
+      (20L, 2L, "O", 21.0, ts("2024-03-01 12:00:00"), "1-URGENT")) // exactly at event 3's ts
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    Seq(
+      (0L, ts("2024-01-01 00:00:00"), 1L, "view", 1.0, "{}"), // before all orders
+      (1L, ts("2024-01-10 00:00:00"), 1L, "view", 1.0, "{}"), // after the dup-date pair
+      (2L, ts("2024-03-01 00:00:00"), 1L, "view", 1.0, "{}"), // after order 12
+      (3L, ts("2024-03-01 12:00:00"), 2L, "view", 1.0, "{}"), // == order 20's timestamp
+      (4L, ts("2024-01-10 00:00:00"), 3L, "view", 1.0, "{}")) // customer with no orders
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+
+    val got = Relational.queries("q15_asof_join")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(got == Seq(
+      (0L, 1L, None, None),
+      (1L, 1L, Some(11L), Some(12.0)),
+      (2L, 1L, Some(12L), Some(13.0)),
+      (3L, 2L, Some(20L), Some(21.0)),
+      (4L, 3L, None, None)))
+  }
+}
