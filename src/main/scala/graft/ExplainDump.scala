@@ -15,7 +15,11 @@ import java.nio.file.{Files, Paths}
   * plan would show none of the per-round work — their plan story is the loop
   * code plus the round-latency notes in BENCH/BASELINE.md.
   *
-  * Usage: `sbt 'runMain graft.ExplainDump /root/testdata/sf0.01 BENCH/plans'`
+  * Usage: `sbt 'runMain graft.ExplainDump /root/testdata/sf0.01 BENCH/plans'`;
+  * extra args select specific queries instead of the curated default slice
+  * (unknown names fail loudly). This is the ONE explain tool — it replaced
+  * the stdout-only `graft.Explain`, which silently skipped unknown names and
+  * had drifted on session config.
   */
 object ExplainDump {
 
@@ -56,7 +60,9 @@ object ExplainDump {
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(outDir))
     val mode = org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    Names.foreach { name =>
+    val names = if (args.length > 2) args.drop(2).toSeq else Names
+    var failed = List.empty[String]
+    names.foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name,
         sys.error(s"ExplainDump names a query that no longer exists: $name"))
       try {
@@ -65,11 +71,18 @@ object ExplainDump {
           s"== $name @ $sfDir ==\n\n$plan")
         println(s"[explain] wrote $outDir/$name.txt")
       } catch { case e: Throwable =>
+        // delete any stale committed dump: README sells these files as
+        // "checkable without running anything", so a plan from an older
+        // commit masquerading as current is worse than a missing file
+        Files.deleteIfExists(Paths.get(s"$outDir/$name.txt"))
+        failed ::= name
         System.err.println(s"[explain] $name failed: ${e.getMessage}")
       }
     }
     KgPipeline.release()
     graft.queries.Dedup.release()
     spark.stop()
+    if (failed.nonEmpty)
+      sys.error(s"ExplainDump failed for: ${failed.reverse.mkString(", ")}")
   }
 }

@@ -297,6 +297,10 @@ object Relational {
     val dedup = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
       .orderBy(col("o_orderkey").desc)
     val ord = Tables.orders(s, d)
+      // a NULL order date must be invisible (ASOF's `ts >= date` is never
+      // true on NULL) — without this filter Spark's nulls-first window order
+      // would put such a row at the partition head and leak it to EVERY event
+      .filter(col("o_orderdate").isNotNull)
       .withColumn("rn", row_number().over(dedup)).filter(col("rn") === 1)
       .select(col("o_custkey").as("user_id"), col("o_orderdate").as("t"),
         lit(0).as("is_event"), lit(null).cast(LongType).as("event_id"),

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-mix construction operators over `documents` — the steps between
@@ -235,14 +236,26 @@ object TrainingMix {
   // combinable groupBy(source) over the corpus (source cardinality is tiny),
   // then a broadcast of the one-row totals frame.
   def x04TemperatureMix(s: SparkSession, d: String): DataFrame = {
-    val nTok = "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
+    // one corpus scan: the totals come from an unpartitioned window over the
+    // tiny per-source frame (source cardinality rows — the single-partition
+    // warning is the point), NOT a crossJoin with a separately aggregated
+    // totals frame, which would re-derive the whole corpus scan+agg lineage
+    // a second time. The e6 fixed-point guard fails loudly inside the plan
+    // (raise_error, no extra scan) if a source's token mass would overflow
+    // 1000000 * n_tokens — DuckDB errors natively on the same overflow, so
+    // both engines refuse rather than Spark silently wrapping negative.
     val per = Tables.documents(s, d).selectExpr("source", s"$nTok AS nt")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
-      .selectExpr("source", "n_docs", "n_tokens",
+      .selectExpr("source", "n_docs",
+        s"CASE WHEN n_tokens > ${Long.MaxValue / 1000000} THEN " +
+          "CAST(raise_error('x04: source token mass overflows the e6 " +
+          "fixed-point — raise the weight unit') AS BIGINT) " +
+          "ELSE n_tokens END AS n_tokens",
         "CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS st")
-    val tot = per.selectExpr("sum(n_tokens) AS tot_tokens", "sum(st) AS tot_st")
-    per.crossJoin(broadcast(tot))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    per.withColumn("tot_tokens", sum(col("n_tokens")).over(all))
+      .withColumn("tot_st", sum(col("st")).over(all))
       .selectExpr("source", "n_docs", "n_tokens",
         "(1000000 * n_tokens) DIV tot_tokens AS w_prop_e6",
         "(1000000 * st) DIV tot_st AS w_sqrt_e6")
