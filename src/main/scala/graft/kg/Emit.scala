@@ -40,16 +40,18 @@ object Emit {
   // ---- event types (P6): BFS up the topic hierarchy, first non-empty level
   // (extraction.py:291-304); per-id merge like dict |=.
   def eventTypes(parentIds: Seq[Long], topics: Map[Long, TopicInfo]): Seq[ClassLabel] = {
+    // no round cap: `seen` makes each level strictly new, so the walk
+    // terminates in <= |topics| rounds even on a cyclic parent graph — a cap
+    // here could only ever turn a deep-but-valid hierarchy into silently
+    // missing hasWikidataEventType triples (the kg04 silent-cap lesson)
     var level = parentIds
     var seen = Set.empty[Long]
     var out = Seq.empty[ClassLabel]
-    var guard = 0
-    while (level.nonEmpty && out.isEmpty && guard < 16) {
+    while (level.nonEmpty && out.isEmpty) {
       val infos = level.flatMap(topics.get)
       out = infos.flatMap(_.classes).distinctBy(_.id)
       seen ++= level
       level = infos.flatMap(_.parentIds).filterNot(seen.contains)
-      guard += 1
     }
     out
   }

@@ -17,7 +17,6 @@ object Timespan {
       startTime: Option[KTime],
       endTime: Option[KTime])
 
-  private def hasTime(d: KDateTime): Boolean = d.h != 0 && d.mi != 0
 
   /** Python str(timezone(timedelta)): "UTC" for zero offset else "UTC±HH:MM". */
   def tzName(tzMin: Int): String =
@@ -54,7 +53,7 @@ object Timespan {
       row.date.foreach { rd =>
         startDate match {
           case None => startDate = Some(rd); filled = true
-          case Some(sd) if !hasTime(sd) && hasTime(rd) =>
+          case Some(sd) if !sd.hasTime && rd.hasTime =>
             startDate = Some(sd.withTime(rd.h, rd.mi)); filled = true
           case _ => ()
         }
@@ -65,7 +64,7 @@ object Timespan {
         val ru = row.until.get
         endDate match {
           case None => endDate = Some(ru); filled = true
-          case Some(ed) if !hasTime(ed) && hasTime(ru) =>
+          case Some(ed) if !ed.hasTime && ru.hasTime =>
             endDate = Some(ed.withTime(ru.h, ru.mi)); filled = true
           case _ => ()
         }
@@ -77,7 +76,7 @@ object Timespan {
     for (row <- timeRows) {
       var filled = false
       if (startDate.isDefined && endDate.isEmpty) {
-        if (!hasTime(startDate.get)) {
+        if (!startDate.get.hasTime) {
           startDate = Some(startDate.get.withTime(row.start.hour, row.start.minute))
           filled = true
         }

@@ -54,6 +54,10 @@ object Multimodal {
     */
   def m02FrameSample(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      // zero-frame media yields NO rows, like the oracle's series-join bound;
+      // without the filter sequence(0, -1, 30) is an illegal Spark sequence
+      // (start > stop with a positive step) and the whole query throws
+      .filter(col("n_chars") >= 1)
       .selectExpr("doc_id", "text", "explode(sequence(CAST(0 AS BIGINT), n_chars - 1, CAST(30 AS BIGINT))) AS frame_idx")
       .selectExpr("doc_id", "frame_idx",
         "md5(concat(doc_id, ':', frame_idx, ':', text)) AS frame_fp")
@@ -92,6 +96,10 @@ object Multimodal {
   def m03FeatureExtract(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val media: Dataset[MediaRow] = Tables.documents(s, d)
+      // the oracle's series join (i <= length(text)) emits rows only for
+      // docs with at least one byte and a non-null text; match it here —
+      // also keeps decodeStub from dereferencing a null media array
+      .filter(col("text").isNotNull && length(col("text")) >= 1)
       .selectExpr("doc_id", "encode(text, 'UTF-8') AS media")
       .as[MediaRow]
     media.mapPartitions { it =>

@@ -518,8 +518,7 @@ object Dedup {
   // with their size (size > 1 ⇒ near-duplicate cluster to drop).
   def d04ExactDupGroups(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .selectExpr("doc_id",
-        "md5(array_join(array_sort(array_distinct(split(text, ' '))), ' ')) AS fp")
+      .selectExpr("doc_id", s"$bowFp AS fp")
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("canonical_doc_id"), count(lit(1)).as("group_size"))
       .orderBy(col("canonical_doc_id"))

@@ -18,12 +18,20 @@ object Graph {
   // component(min label) = id - id % 50. A 50-long chain forces the
   // pointer-jumping path (log rounds), not just 1-hop propagation.
   def g01CcChains(s: SparkSession, d: String): DataFrame = {
-    val edges = Tables.documents(s, d)
-      .select(col("doc_id"))
+    val nodes = Tables.documents(s, d).select(col("doc_id"))
+    val edges = nodes
       .filter(col("doc_id") % 50 =!= 0)
       .select(col("doc_id").as("src"), (col("doc_id") - 1).as("dst"))
-    ConnectedComponents.run(edges)
+    val cc = ConnectedComponents.run(edges)
       .select(col("node").as("doc_id"), col("comp").as("component"))
+    // CC only emits nodes that appear in an edge; an ISOLATED node (a chain
+    // head at the end of the id range, e.g. n-1 when (n-1) % 50 == 0) is its
+    // own component — rejoin the full node set so the output covers every
+    // doc exactly like the oracle's closed form (latent n-dependent parity
+    // break; current SFs all have n % 50 == 0 and never exercise it)
+    nodes.join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
       .orderBy(col("doc_id"))
   }
 
@@ -64,7 +72,7 @@ object Graph {
 
   val g02Sql: String =
     """WITH RECURSIVE r AS (
-      |  SELECT CAST(0 AS BIGINT) AS doc_id, 0 AS depth
+      |  SELECT doc_id, 0 AS depth FROM documents WHERE doc_id = 0
       |  UNION ALL
       |  SELECT d.doc_id, r.depth + 1
       |  FROM documents d JOIN r ON d.doc_id // 2 = r.doc_id

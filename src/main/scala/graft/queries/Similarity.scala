@@ -57,13 +57,18 @@ object Similarity {
        |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $NQueries),
        |scored AS (
        |  SELECT query_id, c.vec_id AS cand_id,
-       |    CAST(floor(1e6 *
+       |    CASE WHEN
+       |      (SELECT SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))
+       |       FROM generate_series(1, $Dim) t(i)) *
+       |      (SELECT SUM(CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))
+       |       FROM generate_series(1, $Dim) t(i)) = 0 THEN CAST(-2000000 AS BIGINT)
+       |    ELSE CAST(floor(1e6 *
        |      (SELECT SUM(CAST(qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))
        |       FROM generate_series(1, $Dim) t(i)) /
        |      (sqrt((SELECT SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))
        |             FROM generate_series(1, $Dim) t(i))) *
        |       sqrt((SELECT SUM(CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))
-       |             FROM generate_series(1, $Dim) t(i))))) AS BIGINT) AS sim_e6
+       |             FROM generate_series(1, $Dim) t(i))))) AS BIGINT) END AS sim_e6
        |  FROM embeddings c, q WHERE c.vec_id <> query_id)
        |SELECT query_id, rk, cand_id, sim_e6 FROM (
        |  SELECT query_id, cand_id, sim_e6,
@@ -132,13 +137,18 @@ object Similarity {
        |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM vecs WHERE vec_id < $NQueries),
        |scored AS (
        |  SELECT query_id, c.vec_id AS cand_id,
-       |    CAST(floor(1e6 *
+       |    CASE WHEN
+       |      (SELECT SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))
+       |       FROM generate_series(1, $Dim) t(i)) *
+       |      (SELECT SUM(CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))
+       |       FROM generate_series(1, $Dim) t(i)) = 0 THEN CAST(-2000000 AS BIGINT)
+       |    ELSE CAST(floor(1e6 *
        |      (SELECT SUM(CAST(qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))
        |       FROM generate_series(1, $Dim) t(i)) /
        |      (sqrt((SELECT SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))
        |             FROM generate_series(1, $Dim) t(i))) *
        |       sqrt((SELECT SUM(CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))
-       |             FROM generate_series(1, $Dim) t(i))))) AS BIGINT) AS sim_e6
+       |             FROM generate_series(1, $Dim) t(i))))) AS BIGINT) END AS sim_e6
        |  FROM vecs c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id)
        |SELECT query_id, rk, cand_id, sim_e6 FROM (
        |  SELECT query_id, cand_id, sim_e6,

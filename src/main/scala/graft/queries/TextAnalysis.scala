@@ -111,7 +111,7 @@ object TextAnalysis {
       .selectExpr(
         "doc_id",
         "md5(text) AS fp_exact",
-        "md5(array_join(array_sort(array_distinct(split(text, ' '))), ' ')) AS fp_bow")
+        s"${Dedup.bowFp} AS fp_bow") // the ONE BoW-key definition (d04/d07/st03)
       .orderBy(col("doc_id"))
 
   val t04Sql: String =
