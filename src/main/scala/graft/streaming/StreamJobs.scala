@@ -113,6 +113,38 @@ object StreamJobs {
     * complete result via the memory sink (local smoke for the streaming
     * plan — used by the spec and available as a library entry point).
     */
+  /** Stream-static enrichment join + aggregation — the standard pattern for
+    * enriching an event stream with a slowly-changing dimension: the STATIC
+    * side is broadcast into every micro-batch (the stream side never
+    * shuffles for the join), then a per-nation aggregate. The value
+    * accumulator is exact integer micros (order-independent, same rule as
+    * sessionize). The identical transform runs on a batch frame.
+    */
+  def enrichAgg(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+        broadcast(customers.select(col("c_custkey"), col("c_nationkey"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nation"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(round(value * 1000000) AS BIGINT)")).as("sum_value_e6"))
+
+  def runEnrichStream(spark: SparkSession, eventsDir: String,
+      customers: DataFrame, queryName: String): DataFrame = {
+    val stream = spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(eventsDir)
+    val q = enrichAgg(stream.filter(col("event_id").isNotNull), customers)
+      .writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   def runWindowedStream(spark: SparkSession, sfDir: String, queryName: String): DataFrame = {
     val stream = spark.readStream
       .schema(eventSchema)

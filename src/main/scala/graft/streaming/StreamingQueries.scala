@@ -59,13 +59,29 @@ object StreamingQueries {
       |  FROM documents) t
       |GROUP BY fp ORDER BY rep_doc_id""".stripMargin
 
+  // st04: stream-static enrichment — events joined to the static customer
+  // dimension (broadcast per micro-batch) and aggregated per nation; the
+  // batch entry runs the identical transform (StreamJobsSpec proves the
+  // multi-micro-batch stream lands on the same rows).
+  def st04StreamEnrich(s: SparkSession, d: String): DataFrame =
+    StreamJobs.enrichAgg(Tables.events(s, d), Tables.customer(s, d))
+      .orderBy(col("nation"))
+
+  val st04Sql: String =
+    """SELECT c_nationkey AS nation, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_e6
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1 ORDER BY nation""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_windowed_agg" -> (st01WindowedAgg _),
     "st02_sessionize" -> (st02Sessionize _),
-    "st03_stream_dedup" -> (st03StreamDedup _))
+    "st03_stream_dedup" -> (st03StreamDedup _),
+    "st04_stream_enrich" -> (st04StreamEnrich _))
 
   def oracleSql: Map[String, String] = Map(
     "st01_windowed_agg" -> st01Sql,
     "st02_sessionize" -> st02Sql,
-    "st03_stream_dedup" -> st03Sql)
+    "st03_stream_dedup" -> st03Sql,
+    "st04_stream_enrich" -> st04Sql)
 }

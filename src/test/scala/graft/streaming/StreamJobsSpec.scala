@@ -31,6 +31,23 @@ class StreamJobsSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch))
   }
 
+  test("stream-static enrichment equals the batch plan over the same input") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_enrich")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val customers = spark.read.parquet(s"$sfDir/customer.parquet")
+    def canon(df: org.apache.spark.sql.DataFrame): Array[String] =
+      df.selectExpr("nation", "n_events", "sum_value_e6")
+        .collect().map(_.toString).sorted
+    val streamed = canon(
+      StreamJobs.runEnrichStream(spark, dir.toString, customers, "st04_test"))
+    val batch = canon(
+      StreamJobs.enrichAgg(spark.read.parquet(s"$sfDir/events.parquet"), customers))
+    assert(streamed.nonEmpty)
+    assert(streamed.sameElements(batch))
+  }
+
   test("multi-batch streaming dedup converges to the batch state and the groupBy truth") {
     import spark.implicits._
     // stage the fingerprinted docs as 4 parquet shards so the stream runs 4
