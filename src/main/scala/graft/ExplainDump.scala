@@ -37,6 +37,7 @@ object ExplainDump {
     "d02_lsh_pairs",        // banded LSH self-join over the shared prologue
     "d04_exact_dup_groups",
     "d06_embedding_neardup",
+    "d08_ngram_jaccard",    // prefix-filter inverted-index join (exact Jaccard)
     "s01_knn_brute",
     "s03_ivf_topk",
     "x03_decontaminate",

@@ -530,13 +530,98 @@ object Dedup {
       |  FROM documents) t
       |GROUP BY fp ORDER BY canonical_doc_id""".stripMargin
 
+  // ---- d08: EXACT n-gram Jaccard join via global-order prefix filtering ---
+  // The non-probabilistic counterpart to d02's MinHash-LSH: ALL pairs with
+  // word-3-gram Jaccard ≥ τ = 3/5, no hashing approximation and no dropped
+  // buckets. Classic prefix-filter join (SSJoin/PPJoin family): order each
+  // doc's grams by global rarity (document frequency asc, gram asc — a total
+  // order, so both engines pick identical prefixes), index only the first
+  // n - ⌈τ·n⌉ + 1 grams per doc, and generate candidates from docs sharing a
+  // PREFIX gram. Losslessness: J(x,y) ≥ τ ⟹ |x∩y| ≥ ⌈τ·max(|x|,|y|)⌉, so the
+  // common grams cannot all hide in either doc's ⌈τ·n⌉-1 suffix — at least
+  // one lands in both prefixes (DedupSpec proves equality to the brute-force
+  // all-pairs answer). Scale shape: candidate volume is Σ_g df_prefix(g)² —
+  // the rarest-first order pushes frequent grams OUT of prefixes, which is
+  // what bounds the self-join at 100 TB (a stopword-ish gram ranks last and
+  // is never indexed unless a doc has nothing rarer); the length filter
+  // 5·min(n) ≥ 3·max(n) prunes inside the join condition, and verification
+  // touches candidate docs only. All arithmetic is integer-exact
+  // (⌈3n/5⌉ = (3n+4) DIV 5; permille Jaccard as in d02).
+  def d08NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .filter(size(split(col("text"), " ")) >= 3)
+    // distinct (doc, gram) rows feed df, the ranked-prefix build, and the
+    // verification join twice — materialize the explode ONCE (d02's rule)
+    val grams = docs
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr("doc_id", s"explode(array_distinct($shingle3)) AS g")
+      .localCheckpoint(true)
+    val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy("doc_id")
+    val ranked = grams.join(df, Seq("g"))
+      .select(col("doc_id"), col("g"),
+        row_number().over(byDoc.orderBy(col("df"), col("g"))).as("rk"),
+        count(lit(1)).over(byDoc).as("n"))
+    val prefix = ranked.filter(col("rk") <= col("n") - expr("(3 * n + 4) DIV 5") + 1)
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
+          lit(5) * least(col("x.n"), col("y.n")) >=
+            lit(3) * greatest(col("x.n"), col("y.n")))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.n").as("na"), col("y.n").as("nb"))
+      .distinct()
+      .localCheckpoint(true) // feeds candDocs, common, and the final join
+    val candDocs = cand.selectExpr("explode(array(a, b)) AS doc_id").distinct()
+    val gc = grams.join(candDocs, Seq("doc_id"), "left_semi")
+    val common = cand.select(col("a"), col("b"))
+      .join(gc.as("sa"), col("a") === col("sa.doc_id"))
+      .join(gc.as("sb"), col("b") === col("sb.doc_id") && col("sa.g") === col("sb.g"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+    cand.join(common, Seq("a", "b")) // prefix-joined pairs share ≥1 gram ⇒ inner
+      .filter(lit(5) * col("c") >= lit(3) * (col("na") + col("nb") - col("c")))
+      .selectExpr("a", "b", "(1000 * c) DIV (na + nb - c) AS jaccard_e3")
+      .orderBy(col("jaccard_e3").desc, col("a"), col("b"))
+  }
+
+  val d08Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE length(string_split(text, ' ')) >= 3),
+      |series AS (SELECT i FROM generate_series(1, 2048) t(i)),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+      |  FROM docs JOIN series ON i <= length(toks) - 2),
+      |dfreq AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g),
+      |ranked AS (
+      |  SELECT doc_id, g,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY df, g) AS rk,
+      |    COUNT(*) OVER (PARTITION BY doc_id) AS n
+      |  FROM grams JOIN dfreq USING (g)),
+      |pref AS (SELECT * FROM ranked WHERE rk <= n - (3 * n + 4) // 5 + 1),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.n AS na, y.n AS nb
+      |  FROM pref x JOIN pref y
+      |    ON x.g = y.g AND x.doc_id < y.doc_id
+      |    AND 5 * least(x.n, y.n) >= 3 * greatest(x.n, y.n)),
+      |common AS (
+      |  SELECT a, b, COUNT(*) AS c
+      |  FROM cand JOIN grams sa ON a = sa.doc_id
+      |  JOIN grams sb ON b = sb.doc_id AND sa.g = sb.g
+      |  GROUP BY a, b)
+      |SELECT a, b, CAST((1000 * c) // (na + nb - c) AS BIGINT) AS jaccard_e3
+      |FROM cand JOIN common USING (a, b)
+      |WHERE 5 * c >= 3 * (na + nb - c)
+      |ORDER BY jaccard_e3 DESC, a, b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_minhash_signatures" -> (d01MinhashSignatures _),
     "d02_lsh_pairs" -> (d02LshPairs _),
     "d03_simhash" -> (d03Simhash _),
     "d04_exact_dup_groups" -> (d04ExactDupGroups _),
     "d05_lsh_bucket_stats" -> (d05LshBucketStats _),
-    "d06_embedding_neardup" -> (d06EmbeddingNeardup _))
+    "d06_embedding_neardup" -> (d06EmbeddingNeardup _),
+    "d08_ngram_jaccard" -> (d08NgramJaccard _))
 
   val oracleSql: Map[String, String] = Map(
     "d01_minhash_signatures" -> d01Sql,
@@ -544,5 +629,6 @@ object Dedup {
     "d03_simhash" -> d03Sql,
     "d04_exact_dup_groups" -> d04Sql,
     "d05_lsh_bucket_stats" -> d05Sql,
-    "d06_embedding_neardup" -> d06Sql)
+    "d06_embedding_neardup" -> d06Sql,
+    "d08_ngram_jaccard" -> d08Sql)
 }

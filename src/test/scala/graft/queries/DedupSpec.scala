@@ -109,4 +109,48 @@ class DedupSpec extends AnyFunSuite {
     // no member-member pair survives the collapse (canonical semantics)
     assert(!got.exists { case (a, b, _) => a >= 1L && a < 100L && b < 100L })
   }
+
+  /** d08's prefix filter must be LOSSLESS: its output equals the brute-force
+    * all-pairs exact-Jaccard answer, pair for pair — including pairs whose
+    * only shared grams are corpus-frequent (rank last in the global order,
+    * the case a buggy prefix bound would drop) and pairs at the τ boundary.
+    */
+  test("d08 prefix-filter join == brute-force all-pairs exact Jaccard") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs: Seq[(Long, String)] = Seq(
+      1L -> base, // exact dup pair (J = 1000)
+      2L -> base,
+      3L -> (base + " lambda"), // near dup of 1/2, above τ
+      4L -> "alpha beta gamma delta epsilon zeta mu nu xi omicron", // ~boundary
+      5L -> "one two three four five six seven eight nine ten", // disjoint
+      6L -> "alpha beta gamma pi rho sigma tau upsilon phi chi", // below τ
+      // a 25-member cluster of identical docs: every gram FREQUENT (df=25),
+      // so their prefixes are built entirely from high-df grams
+      7L -> "shared common words appear in every single clone document here") ++
+      (8L until 32L).map(i =>
+        i -> "shared common words appear in every single clone document here")
+    val dir = Files.createTempDirectory("graft_dedup_d08").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def grams3(t: String): Set[String] = {
+      val w = t.split(' ')
+      (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+    }
+    val expected = (for {
+      (a, ta) <- docs; (b, tb) <- docs if a < b
+      ga = grams3(ta); gb = grams3(tb)
+      c = (ga intersect gb).size; u = ga.size + gb.size - c
+      if 5 * c >= 3 * u
+    } yield (a, b, 1000L * c / u)).sortBy { case (a, b, j) => (-j, a, b) }
+
+    val got = Dedup.queries("d08_ngram_jaccard")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // sanity on the fixture itself: it exercises exact dups, a frequent-gram
+    // cluster (25·24/2 pairs), near dups, and excludes the below-τ pairs
+    assert(expected.count { case (a, b, _) => a >= 7L } == 25 * 24 / 2)
+    assert(expected.exists { case (a, b, j) => a == 1L && b == 3L && j < 1000L })
+    assert(!expected.exists { case (a, b, _) => a == 1L && b == 6L })
+  }
 }
