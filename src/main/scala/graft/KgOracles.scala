@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.kg.{Dicts, Ns}
+import graft.kg.{CorpusStore, Dicts, Ns, Synth}
 
 /** DuckDB oracles for the kg* query layer.
   *
@@ -321,6 +321,29 @@ object KgOracles {
        |FROM m WINDOW w AS (ORDER BY ym ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |ORDER BY ym""".stripMargin
 
+  // kg14: the input table itself. The oracle re-derives the flatten from the
+  // NESTED dump (spans[i] list indexing + struct field access), so the
+  // explode, the 1-based positions, and the per-span hash key are all
+  // independently recomputed. The coin is the first 8 md5 hex digits as a
+  // BIGINT — DuckDB has no conv(hex), so the nibble fold accumulates in
+  // BIGINT (16^7·15 overflows INT32).
+  val kg14Sql: String = {
+    val nib = (i: Int) => s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    val fold = (2 to 8).foldLeft(s"CAST(${nib(1)} AS BIGINT)")((acc, i) => s"($acc * 16 + ${nib(i)})")
+    s"""WITH corpus AS (SELECT doc_id, spans FROM ${t("kg_corpus")}),
+       |series AS (SELECT i FROM generate_series(1, 4096) t(i)),
+       |sp AS (
+       |  SELECT doc_id, spans[i].kind AS kind, spans[i].media_ref AS media_ref,
+       |    md5(doc_id || '|' || CAST(i AS VARCHAR) || '|' || spans[i].kind || '|' ||
+       |        COALESCE(spans[i].text, '') || '|' || COALESCE(spans[i].media_ref, '') ||
+       |        '|' || CAST(spans[i].offset AS VARCHAR)) AS h
+       |  FROM corpus JOIN series ON i <= len(spans))
+       |SELECT kind, COUNT(*) AS n_spans, COUNT(DISTINCT doc_id) AS n_docs,
+       |  CAST(SUM(CASE WHEN media_ref IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_media_refs,
+       |  CAST(SUM($fold) AS BIGINT) AS seq_checksum
+       |FROM sp GROUP BY kind ORDER BY kind""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "kg01_module_counts" -> kg01Sql,
     "kg02_events_per_year" -> kg02Sql,
@@ -334,7 +357,8 @@ object KgOracles {
     "kg10_location_eval" -> kg10Sql,
     "kg11_company_entities" -> kg11Sql,
     "kg12_monthly_metrics" -> kg12Sql,
-    "kg13_hit_ratio_window" -> kg13Sql)
+    "kg13_hit_ratio_window" -> kg13Sql,
+    "kg14_span_inventory" -> kg14Sql)
 
   /** Projection of the enriched-article frame the kg12/kg10 oracles read:
     * plain columns + array sizes (structs don't need to cross into DuckDB).
@@ -370,5 +394,17 @@ object KgOracles {
     write(KgPipeline.labeledLocations(s, sfDir), "kg_labeled")
     write(enrichedView(s, sfDir), "kg_enriched")
     write(KgPipeline.kg12PerDay(s, sfDir), "kg_perday")
+    // kg14's input: the documents table itself, spans kept NESTED so the
+    // oracle independently recomputes the flatten. Same silent-cap preflight
+    // class as Verify's text-length check: the oracle's series window must
+    // cover the longest span array.
+    val corpus = CorpusStore.scan(s, Synth.paramsFor(sfDir))
+      .select(col("doc_id"), col("spans"))
+    val maxSpans = corpus.selectExpr("coalesce(max(size(spans)), 0) AS m")
+      .collect().head.getInt(0)
+    require(maxSpans <= 4096,
+      s"corpus max spans length $maxSpans exceeds the kg14 oracle series " +
+        "window (4096) — widen generate_series before trusting the gate")
+    write(corpus, "kg_corpus")
   }
 }

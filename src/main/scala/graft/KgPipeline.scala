@@ -473,6 +473,33 @@ object KgPipeline {
         sum(when(col("obj_is_iri"), 1L).otherwise(0L)).as("n_iri_objects"))
       .orderBy(col("event_date"), col("graph_module"))
 
+  // input_hint evidence, driver-visible: an inventory of the interleaved
+  // documents table itself, per span kind, carrying an ORDER-SENSITIVE
+  // sequence checksum — each span contributes the first 8 md5 hex digits of
+  // (doc_id | 1-based array position | kind | text | media_ref | offset) as
+  // an integer, summed per kind. Reordering ANY doc's spans (or touching a
+  // kind/text/media_ref/offset) changes the row hash, so the green driver
+  // row IS the span-sequence-equality invariant (BASELINE.json input_hint)
+  // checked end-to-end through parquet by an independent engine. Plan shape:
+  // one corpus scan → in-row position/prev carry (no window shuffle) →
+  // posexplode → hash → one groupBy(kind); embarrassingly parallel at 100 TB.
+  def kg14SpanInventory(s: SparkSession, d: String): DataFrame = {
+    val corpus = kg.CorpusStore.scan(s, kg.Synth.paramsFor(d))
+    corpus
+      .selectExpr("doc_id", "posexplode(spans) AS (j, sp)")
+      .selectExpr("doc_id", "sp.kind AS kind", "sp.media_ref AS media_ref",
+        "CAST(conv(substr(md5(concat_ws('|', doc_id, j + 1, sp.kind, " +
+          "coalesce(sp.text, ''), coalesce(sp.media_ref, ''), sp.offset)), " +
+          "1, 8), 16, 10) AS BIGINT) AS coin")
+      .groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(when(col("media_ref").isNotNull, 1L).otherwise(0L)).as("n_media_refs"),
+        sum(col("coin")).as("seq_checksum"))
+      .orderBy(col("kind"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg01_module_counts" -> (kg01ModuleCounts _),
     "kg02_events_per_year" -> (kg02EventsPerYear _),
@@ -486,7 +513,8 @@ object KgPipeline {
     "kg10_location_eval" -> (kg10LocationEval _),
     "kg11_company_entities" -> (kg11CompanyEntities _),
     "kg12_monthly_metrics" -> (kg12MonthlyMetrics _),
-    "kg13_hit_ratio_window" -> (kg13HitRatioWindow _))
+    "kg13_hit_ratio_window" -> (kg13HitRatioWindow _),
+    "kg14_span_inventory" -> (kg14SpanInventory _))
 
   /** DuckDB oracle SQL per kg query — over the intermediate tables
     * graft.Verify dumps to `<outDir>/_oracle_aux/` (see [[KgOracles]]).

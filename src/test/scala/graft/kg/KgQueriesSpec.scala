@@ -271,4 +271,49 @@ class KgQueriesSpec extends AnyFunSuite {
     assert(w.last.getLong(w.last.fieldIndex("cumulative_ratio_e6")) ==
       1000000L * totalHits / totalReqs)
   }
+
+  test("kg14 span inventory matches a sequential recompute and is order-sensitive") {
+    // sequential truth straight from the synthesis model (no Spark)
+    def coin(docId: String, i: Int, s: Span): Long = {
+      val key = s"$docId|$i|${s.kind}|${Option(s.text).getOrElse("")}|" +
+        s"${Option(s.media_ref).getOrElse("")}|${s.offset}"
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val days = Synth.allDaysOf(p).map { case (y, m, d) =>
+      SpanCodec.dayDoc(p, Synth.day(p, m, d, y))
+    }
+    val arts = (0 until p.articles).map(i => SpanCodec.articleDoc(p, Synth.article(p, i)))
+    val docs = days ++ arts
+    case class Agg(nSpans: Long, docs: Set[String], nMedia: Long, checksum: Long)
+    val expected = docs.flatMap(doc => doc.spans.zipWithIndex.map { case (s, j) =>
+      (doc.doc_id, j + 1, s)
+    }).groupBy(_._3.kind).map { case (kind, rows) =>
+      kind -> Agg(rows.size.toLong, rows.map(_._1).toSet,
+        rows.count(_._3.media_ref != null).toLong,
+        rows.map { case (id, i, s) => coin(id, i, s) }.sum)
+    }
+    val got = KgPipeline.kg14SpanInventory(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        Agg(r.getLong(1), Set.empty, r.getLong(3), r.getLong(4)) ->
+        r.getLong(2)).toMap
+    assert(got.keys.map(_._1).toSet == expected.keySet)
+    for (((kind, agg), nDocs) <- got) {
+      val e = expected(kind)
+      assert(agg.nSpans == e.nSpans, s"n_spans($kind)")
+      assert(nDocs == e.docs.size.toLong, s"n_docs($kind)")
+      assert(agg.nMedia == e.nMedia, s"n_media_refs($kind)")
+      assert(agg.checksum == e.checksum, s"seq_checksum($kind)")
+    }
+    // both interleaved families present, media refs carried through
+    assert(expected.keySet.intersect(Set("text", "wikilink", "media")).size == 3)
+    assert(expected("wikilink").nMedia > 0)
+    // ORDER sensitivity: swapping two spans of one doc changes its kind sums
+    val doc = docs.find(_.spans.length >= 2).get
+    val swapped = doc.spans.updated(0, doc.spans(1)).updated(1, doc.spans(0))
+    val before = doc.spans.zipWithIndex.map { case (s, j) => coin(doc.doc_id, j + 1, s) }.sum
+    val after = swapped.zipWithIndex.map { case (s, j) => coin(doc.doc_id, j + 1, s) }.sum
+    assert(before != after)
+  }
 }
