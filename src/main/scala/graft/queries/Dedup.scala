@@ -551,9 +551,25 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
       .filter(size(split(col("text"), " ")) >= 3)
-    // distinct (doc, gram) rows feed df, the ranked-prefix build, and the
+    // IDENTICAL-TEXT collapse — exactness-preserving (unlike d02's BoW-level
+    // collapse, which is only sound for its hash family): identical text ⇒
+    // identical gram set ⇒ J(member, x) = J(rep, x) for every x, so the
+    // prefix-filter join and verification run over ONE representative per
+    // distinct text and member pairs are expanded back at the end. An
+    // n-member identical cluster is n²/2 OUTPUT rows either way (that is the
+    // all-pairs semantics), but collapsed it costs O(1) verification work
+    // instead of n²/2 gram-set intersections. df ordering over reps instead
+    // of all docs changes only candidate volume, never the output: prefix
+    // filtering is lossless under ANY global total order.
+    val memb = docs.selectExpr("doc_id", "md5(text) AS fp")
+      .withColumn("rep", min(col("doc_id")).over(Window.partitionBy("fp")))
+      .localCheckpoint(true) // feeds reps, intra pairs, 2 expansion joins
+    val reps = docs.join(
+      memb.filter(col("doc_id") === col("rep")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    // distinct (rep, gram) rows feed df, the ranked-prefix build, and the
     // verification join twice — materialize the explode ONCE (d02's rule)
-    val grams = docs
+    val grams = reps
       .selectExpr("doc_id", "split(text, ' ') AS toks")
       .selectExpr("doc_id", s"explode(array_distinct($shingle3)) AS g")
       .localCheckpoint(true)
@@ -578,9 +594,20 @@ object Dedup {
       .join(gc.as("sa"), col("a") === col("sa.doc_id"))
       .join(gc.as("sb"), col("b") === col("sb.doc_id") && col("sa.g") === col("sb.g"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
-    cand.join(common, Seq("a", "b")) // prefix-joined pairs share ≥1 gram ⇒ inner
+    val repPairs = cand.join(common, Seq("a", "b")) // share ≥1 gram ⇒ inner
       .filter(lit(5) * col("c") >= lit(3) * (col("na") + col("nb") - col("c")))
       .selectExpr("a", "b", "(1000 * c) DIV (na + nb - c) AS jaccard_e3")
+    // expand the collapse back to doc-level pairs: cross-group pairs inherit
+    // the rep pair's Jaccard; intra-group pairs are exact duplicates (1000)
+    val cross = repPairs
+      .join(memb.select(col("rep").as("a"), col("doc_id").as("da")), Seq("a"))
+      .join(memb.select(col("rep").as("b"), col("doc_id").as("db")), Seq("b"))
+      .selectExpr("least(da, db) AS a", "greatest(da, db) AS b", "jaccard_e3")
+    val intra = memb.as("x").join(memb.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        lit(1000L).as("jaccard_e3"))
+    cross.unionByName(intra)
       .orderBy(col("jaccard_e3").desc, col("a"), col("b"))
   }
 
