@@ -140,13 +140,85 @@ object Graph {
       s"\nSELECT node AS doc_id, pr AS pr_e12 FROM p$PrIters ORDER BY node"
   }
 
+  // g04: per-node triangle counts with the DEGREE-ORDERED orientation — the
+  // standard distributed algorithm (each edge oriented from its lower-degree
+  // endpoint under the total order (degree, id); every triangle is then
+  // enumerated exactly once, as a wedge at its order-minimal vertex closed by
+  // the third edge). The orientation is what makes it survive skew at 100 TB:
+  // a celebrity node of degree D gets in-degree ~D but out-degree bounded by
+  // the graph's arboricity, so the wedge self-join on src never builds a D²
+  // bucket the way an id-ordered orientation would. Graph: undirected ring
+  // (i, i+1), ring2 (i, i+2) — every consecutive triple is a triangle — plus
+  // the (i, 2i+1) doubling shortcut for irregular extras. The triangle SET is
+  // orientation-independent, so the DuckDB oracle enumerates id-canonically
+  // (x < y < z) and must agree row-for-row.
+  def g04Triangles(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id")).localCheckpoint(true)
+    val n = docs.count()
+    require(n > 2, s"g04 needs >= 3 nodes for the ring graph to be simple (n=$n)")
+    val dir = docs.selectExpr("doc_id AS u", s"(doc_id + 1) % $n AS v")
+      .unionAll(docs.selectExpr("doc_id AS u", s"(doc_id + 2) % $n AS v"))
+      .unionAll(docs.selectExpr("doc_id AS u", s"(doc_id * 2 + 1) % $n AS v"))
+    // canonical undirected edge set (a < b); feeds degree, orientation, and
+    // the triangle-closing join
+    val und = dir.filter(col("u") =!= col("v"))
+      .selectExpr("least(u, v) AS a", "greatest(u, v) AS b").distinct()
+      .localCheckpoint(true)
+    val deg = und.selectExpr("a AS node").unionAll(und.selectExpr("b AS node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(deg.selectExpr("node AS a", "deg AS dega"), Seq("a"))
+      .join(deg.selectExpr("node AS b", "deg AS degb"), Seq("b"))
+      .selectExpr(
+        "IF(dega < degb OR (dega = degb AND a < b), a, b) AS src",
+        "IF(dega < degb OR (dega = degb AND a < b), b, a) AS dst")
+      .localCheckpoint(true) // feeds both sides of the wedge self-join
+    // wedges at the apex; spokes id-ordered so the closing lookup hits the
+    // CANONICAL edge set with a plain equi-join (matching on the oriented set
+    // would need an either-direction OR condition → nested-loop join)
+    val tri = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("x"), col("e1.dst").as("y"), col("e2.dst").as("z"))
+      .join(und, col("y") === col("a") && col("z") === col("b"), "left_semi")
+    val perNode = tri.selectExpr("explode(array(x, y, z)) AS doc_id")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
+    docs.join(perNode, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_triangles"))
+      .orderBy(col("doc_id"))
+  }
+
+  val g04Sql: String =
+    """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+      |dir AS (
+      |  SELECT doc_id AS u, (doc_id + 1) % (SELECT n FROM nn) AS v FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, (doc_id + 2) % (SELECT n FROM nn) FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, (doc_id * 2 + 1) % (SELECT n FROM nn) FROM documents),
+      |und AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+      |        FROM dir WHERE u <> v),
+      |tri AS (
+      |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM und e1 JOIN und e2 ON e1.b = e2.a
+      |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |cnt AS (
+      |  SELECT doc_id, COUNT(*) AS c FROM (
+      |    SELECT x AS doc_id FROM tri
+      |    UNION ALL SELECT y FROM tri
+      |    UNION ALL SELECT z FROM tri) t
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(COALESCE(c, 0) AS BIGINT) AS n_triangles
+      |FROM documents d LEFT JOIN cnt USING (doc_id) ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_cc_chains" -> (g01CcChains _),
     "g02_tree_depth" -> (g02TreeDepth _),
-    "g03_pagerank" -> (g03PageRank _))
+    "g03_pagerank" -> (g03PageRank _),
+    "g04_triangles" -> (g04Triangles _))
 
   val oracleSql: Map[String, String] = Map(
     "g01_cc_chains" -> g01Sql,
     "g02_tree_depth" -> g02Sql,
-    "g03_pagerank" -> g03Sql)
+    "g03_pagerank" -> g03Sql,
+    "g04_triangles" -> g04Sql)
 }
