@@ -579,7 +579,11 @@ object Dedup {
       .select(col("doc_id"), col("g"),
         row_number().over(byDoc.orderBy(col("df"), col("g"))).as("rk"),
         count(lit(1)).over(byDoc).as("n"))
+    // both sides of the self-join read the df-join + double-window chain —
+    // materialize it once (exchange reuse across self-join sides is not
+    // guaranteed, and under AQE the sides re-plan independently)
     val prefix = ranked.filter(col("rk") <= col("n") - expr("(3 * n + 4) DIV 5") + 1)
+      .localCheckpoint(true)
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
           lit(5) * least(col("x.n"), col("y.n")) >=
