@@ -165,15 +165,69 @@ object Multimodal {
       |  md5(media_md5 || ':' || target_w || 'x' || target_h) AS resized_fp
       |FROM plan ORDER BY doc_id""".stripMargin
 
+  /** m05: interleaved-span context alignment — attach every media_ref-bearing
+    * inline span (wikilink / extlink / media) of the KG corpus to its nearest
+    * PRECEDING textual-context span (text / ib_row) in the same document's
+    * span sequence: the caption-alignment primitive of an interleaved
+    * text+media training pipeline (a media span carries no text of its own;
+    * its training context is the text flow it interrupts). Alignment is by
+    * ARRAY POSITION, not offset — marker/metadata spans legitimately restart
+    * offset at 0. Plan: one corpus scan → posexplode → one running-last
+    * window per doc (ignoreNulls) — no self-join; at 100 TB this is a single
+    * shuffle by doc_id. The DuckDB oracle re-derives the alignment with a
+    * max-preceding-position join over the NESTED aux dump instead of a
+    * window, so the semantics are recomputed, not restated.
+    */
+  def m05SpanContextAlign(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = graft.kg.CorpusStore.scan(s, graft.kg.Synth.paramsFor(d))
+    val sp = corpus.selectExpr("doc_id", "posexplode(spans) AS (j, sp)")
+      .selectExpr("doc_id", "CAST(j + 1 AS BIGINT) AS pos",
+        "sp.kind AS kind", "sp.text AS text", "sp.media_ref AS media_ref")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1) // strictly preceding
+    val ctx = struct(col("pos"), col("kind"), col("text"))
+    sp.withColumn("ctx",
+        last(when(col("kind").isin("text", "ib_row"), ctx), ignoreNulls = true).over(w))
+      .filter(col("kind").isin("wikilink", "extlink", "media"))
+      .selectExpr("doc_id", "pos", "kind", "media_ref",
+        "ctx.pos AS ctx_pos", "ctx.kind AS ctx_kind", "ctx.text AS ctx_text")
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  val m05Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, spans FROM read_parquet('{AUX}/kg_corpus/*.parquet')),
+      |series AS (SELECT i FROM generate_series(1, 4096) t(i)),
+      |sp AS (
+      |  SELECT doc_id, i AS pos, spans[i].kind AS kind, spans[i].text AS text,
+      |    spans[i].media_ref AS media_ref
+      |  FROM corpus JOIN series ON i <= len(spans)),
+      |m AS (SELECT * FROM sp WHERE kind IN ('wikilink', 'extlink', 'media')),
+      |c AS (SELECT doc_id, pos, kind, text FROM sp
+      |      WHERE kind IN ('text', 'ib_row')),
+      |best AS (
+      |  SELECT m.doc_id, m.pos, MAX(c.pos) AS ctx_pos
+      |  FROM m JOIN c ON m.doc_id = c.doc_id AND c.pos < m.pos
+      |  GROUP BY m.doc_id, m.pos)
+      |SELECT m.doc_id, m.pos, m.kind, m.media_ref,
+      |  b.ctx_pos, c.kind AS ctx_kind, c.text AS ctx_text
+      |FROM m
+      |LEFT JOIN best b ON m.doc_id = b.doc_id AND m.pos = b.pos
+      |LEFT JOIN c ON b.doc_id = c.doc_id AND b.ctx_pos = c.pos
+      |ORDER BY m.doc_id, m.pos""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_inventory" -> (m01MediaInventory _),
     "m02_frame_sample" -> (m02FrameSample _),
     "m03_feature_extract" -> (m03FeatureExtract _),
-    "m04_resize_plan" -> (m04ResizePlan _))
+    "m04_resize_plan" -> (m04ResizePlan _),
+    "m05_span_context_align" -> (m05SpanContextAlign _))
 
   def oracleSql: Map[String, String] = Map(
     "m01_media_inventory" -> m01Sql,
     "m02_frame_sample" -> m02Sql,
     "m03_feature_extract" -> m03Sql,
-    "m04_resize_plan" -> m04Sql)
+    "m04_resize_plan" -> m04Sql,
+    "m05_span_context_align" -> m05Sql)
 }

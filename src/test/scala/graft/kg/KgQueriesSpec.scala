@@ -316,4 +316,35 @@ class KgQueriesSpec extends AnyFunSuite {
     val after = swapped.zipWithIndex.map { case (s, j) => coin(doc.doc_id, j + 1, s) }.sum
     assert(before != after)
   }
+
+  test("m05 context alignment matches a sequential span-sequence scan") {
+    val inline = Set("wikilink", "extlink", "media")
+    val ctxKinds = Set("text", "ib_row")
+    val days = Synth.allDaysOf(p).map { case (y, m, d) =>
+      SpanCodec.dayDoc(p, Synth.day(p, m, d, y))
+    }
+    val arts = (0 until p.articles).map(i => SpanCodec.articleDoc(p, Synth.article(p, i)))
+    val expected = (days ++ arts).flatMap { doc =>
+      var ctx: Option[(Long, Span)] = None
+      doc.spans.zipWithIndex.flatMap { case (s, j) =>
+        val row = if (inline(s.kind))
+          Seq((doc.doc_id, (j + 1).toLong, s.kind, s.media_ref,
+            ctx.map(_._1), ctx.map(_._2.kind), ctx.map(_._2.text)))
+        else Seq.empty
+        if (ctxKinds(s.kind)) ctx = Some(((j + 1).toLong, s))
+        row
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = graft.multimodal.Multimodal.queries("m05_span_context_align")(spark, sfDir)
+      .collect().map { r =>
+        def opt[A](i: Int, f: Int => A): Option[A] = if (r.isNullAt(i)) None else Some(f(i))
+        (r.getString(0), r.getLong(1), r.getString(2), r.getString(3),
+          opt(4, r.getLong), opt(5, r.getString), opt(6, r.getString))
+      }.toSeq
+    assert(got == expected)
+    assert(expected.nonEmpty)
+    // fixture exercises all three inline kinds and both context kinds
+    assert(expected.map(_._3).toSet == inline)
+    assert(expected.flatMap(_._6).toSet == ctxKinds)
+  }
 }
