@@ -160,4 +160,55 @@ object StreamJobs {
     q.stop()
     spark.table(queryName)
   }
+
+  // ---- watermark late-data semantics ---------------------------------------
+
+  /** 10-minute tumbling count with a 10-minute watermark. On a stream in
+    * APPEND mode this carries the semantics batch cannot express: a row
+    * arriving after the watermark has passed its window's end is DROPPED,
+    * and a window is emitted exactly once — only after the watermark passes
+    * its end (windows still open at stream end are never emitted). The same
+    * plan on a batch frame ignores the watermark (all rows counted), which
+    * is exactly the contrast StreamJobsSpec pins.
+    */
+  def lateWindowCount(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("k"), col("n"))
+
+  /** Drive [[lateWindowCount]] as a REAL ordered multi-batch file stream
+    * (one file per micro-batch; the file source orders initial files by
+    * modification time, which the spec stages explicitly). Returns the rows
+    * the append-mode sink received — each emitted window exactly once — plus
+    * the total rows the watermark dropped as late.
+    *
+    * Watermark timing subtlety this harness surfaced (SPARK-42376, Spark
+    * 3.4+): within batch N, LATE-EVENT FILTERING uses the watermark batch
+    * N-1 ran with, while STATE EVICTION/emission uses the one updated from
+    * batch N-1's data. A row is therefore dropped only when it arrives two
+    * or more batches after the data that advanced the watermark past its
+    * window — arriving in the very next batch still lands in (or reopens)
+    * state. The spec's fixture is staged around exactly this.
+    */
+  def runLateDataStream(spark: SparkSession, dir: String,
+      queryName: String): (DataFrame, Long) = {
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("k", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = lateWindowCount(stream)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    val dropped = q.recentProgress
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      .map(_.numRowsDroppedByWatermark).sum
+    q.stop()
+    (spark.table(queryName), dropped)
+  }
 }

@@ -84,4 +84,57 @@ class StreamJobsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sessions == expected)
   }
+
+  test("append-mode watermark drops too-late rows and never emits open windows") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // 10-min windows, 10-min watermark delay. Batch boundaries are real
+    // micro-batches (one file each, mtimes staged ascending). Late-event
+    // filtering in batch N uses batch N-1's watermark (SPARK-42376 — see
+    // StreamJobs.runLateDataStream), so the too-late row is staged TWO
+    // batches after the row that advanced the watermark past its window:
+    //   shard 0: 10:00, 10:05 (window 10:00) and 10:31 → wm becomes 10:21
+    //   shard 1: 10:25 (window 10:20 open), 11:00 → wm becomes 10:50;
+    //            eviction wm 10:21 emits (10:00, on_time, 2)
+    //   shard 2: 10:02 TOO LATE (late-filter wm now 10:21 > window end
+    //            10:10 → DROPPED), 11:30 → wm 11:20; 11:30 stays OPEN
+    val shards = Seq(
+      Seq((ts("2024-01-01 10:00:00"), "on_time"),
+        (ts("2024-01-01 10:05:00"), "on_time"),
+        (ts("2024-01-01 10:31:00"), "advance")),
+      Seq((ts("2024-01-01 10:25:00"), "fresh"),
+        (ts("2024-01-01 11:00:00"), "advance")),
+      Seq((ts("2024-01-01 10:02:00"), "on_time"),
+        (ts("2024-01-01 11:30:00"), "tail")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_late").toString
+    for ((rows, i) <- shards.zipWithIndex) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_late_shard").toString
+      rows.toDF("ts", "k").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val target = new java.io.File(dir, f"shard$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, target.toPath)
+      assert(target.setLastModified(1700000000000L + i * 60000L))
+    }
+    val (table, dropped) = StreamJobs.runLateDataStream(spark, dir, "st05_test")
+    val got = table
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1)) -> r.getLong(2))
+    assert(got.length == got.map(_._1).distinct.length) // each window emitted once
+    val byKey = got.toMap
+    // the core late-drop proof: the 10:02 arrival is NOT counted anywhere —
+    // its window was already emitted with only the two on-time rows, and the
+    // state operator reports exactly one watermark-dropped row
+    assert(dropped == 1L)
+    assert(byKey(("2024-01-01 10:00:00.0", "on_time")) == 2L)
+    assert(byKey(("2024-01-01 10:20:00.0", "fresh")) == 1L)
+    assert(byKey(("2024-01-01 10:30:00.0", "advance")) == 1L)
+    // the stream-end window was never closed by the watermark → never emitted
+    assert(!byKey.contains(("2024-01-01 11:30:00.0", "tail")))
+    // contrast: the SAME plan in batch mode counts all three on_time rows —
+    // the drop is a property of streaming execution, not of the plan
+    val batch = StreamJobs.lateWindowCount(shards.flatten.toDF("ts", "k"))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    assert(batch(("2024-01-01 10:00:00.0", "on_time")) == 3L)
+    assert(batch.contains(("2024-01-01 11:30:00.0", "tail")))
+  }
 }
