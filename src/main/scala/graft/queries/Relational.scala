@@ -334,6 +334,43 @@ object Relational {
       |ASOF LEFT JOIN od ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
       |ORDER BY e.event_id""".stripMargin
 
+  // q16: EXACT per-group quantiles (p25/p50/p75) by RANK SELECTION — the
+  // scale-correct exact path. Spark's percentile()/median() aggregates
+  // buffer every group value in executor memory (an OOM hazard for a skewed
+  // group at 100 TB); rank selection instead sorts within the group
+  // partition (one window exchange) and picks the two bracketing elements
+  // per quantile, so memory is O(1) per row. All arithmetic stays integer:
+  // with 0-indexed position pos = ((n-1)·k) DIV 4 and remainder
+  // r = ((n-1)·k) % 4 for the k/4 quantile, the interpolated value ×4 is
+  // (4-r)·v[pos] + r·v[pos+1] — a BIGINT. The oracle recomputes through a
+  // DIFFERENT algorithm (DuckDB's native quantile_cont; exact here because
+  // quarter fractions and ×4 are exact in binary doubles).
+  def q16QuantilesRankSelect(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity").cast(LongType).as("q"))
+    val ranked = li.withColumn("rk",
+      row_number().over(Window.partitionBy("l_returnflag").orderBy(col("q"))))
+    val counts = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    def qx4(k: Int): Column = {
+      val pos0 = s"((n - 1) * $k) DIV 4"
+      val r = s"((n - 1) * $k) % 4"
+      (max(when(expr(s"rk = $pos0 + 1"), expr(s"(4 - $r) * q"))) +
+        coalesce(max(when(expr(s"rk = $pos0 + 2 AND $r > 0"), expr(s"$r * q"))),
+          lit(0L)))
+    }
+    ranked.join(counts, Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"), col("n"))
+      .agg(qx4(1).as("p25_x4"), qx4(2).as("p50_x4"), qx4(3).as("p75_x4"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q16Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(4 * quantile_cont(CAST(l_quantity AS BIGINT), 0.25) AS BIGINT) AS p25_x4,
+      |  CAST(4 * quantile_cont(CAST(l_quantity AS BIGINT), 0.50) AS BIGINT) AS p50_x4,
+      |  CAST(4 * quantile_cont(CAST(l_quantity AS BIGINT), 0.75) AS BIGINT) AS p75_x4
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_events_per_year" -> (q02EventsPerYear _),
@@ -349,7 +386,8 @@ object Relational {
     "q12_top_orders" -> (q12TopOrders _),
     "q13_orders_rollup" -> (q13OrdersRollup _),
     "q14_user_event_deltas" -> (q14UserEventDeltas _),
-    "q15_asof_join" -> (q15AsofJoin _))
+    "q15_asof_join" -> (q15AsofJoin _),
+    "q16_quantiles_rank_select" -> (q16QuantilesRankSelect _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -366,5 +404,6 @@ object Relational {
     "q12_top_orders" -> q12Sql,
     "q13_orders_rollup" -> q13Sql,
     "q14_user_event_deltas" -> q14Sql,
-    "q15_asof_join" -> q15Sql)
+    "q15_asof_join" -> q15Sql,
+    "q16_quantiles_rank_select" -> q16Sql)
 }

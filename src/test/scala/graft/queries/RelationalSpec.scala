@@ -54,4 +54,26 @@ class RelationalSpec extends AnyFunSuite {
       (3L, 2L, Some(20L), Some(21.0)),
       (4L, 3L, None, None)))
   }
+
+  /** q16 rank-selection arithmetic pinned by hand against the textbook
+    * (n-1)·p linear-interpolation definition, covering an odd group (all
+    * remainders 0) and an even group (remainders 1/2/3) — independent of the
+    * DuckDB quantile_cont oracle.
+    */
+  test("q16 rank-selection quantiles match hand-computed goldens") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_q16").toString
+    // group A: 1..9 (odd) → p25=3, p50=5, p75=7 (×4: 12/20/28)
+    // group B: 1..10 (even) → p25=3.25, p50=5.5, p75=7.75 (×4: 13/22/31)
+    val rows = (1 to 9).map(q => ("A", q.toDouble)) ++
+      (1 to 10).map(q => ("B", q.toDouble))
+    rows.toDF("l_returnflag", "l_quantity")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val got = Relational.queries("q16_quantiles_rank_select")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("A", 9L, 12L, 20L, 28L),
+      ("B", 10L, 13L, 22L, 31L)))
+  }
 }
