@@ -346,8 +346,11 @@ object Relational {
   // DIFFERENT algorithm (DuckDB's native quantile_cont; exact here because
   // quarter fractions and ×4 are exact in binary doubles).
   def q16QuantilesRankSelect(s: SparkSession, d: String): DataFrame = {
+    // explicit floor() on BOTH sides: a bare double→int cast truncates in
+    // Spark but rounds half-to-even in DuckDB — latent parity break the
+    // moment a quantity is fractional
     val li = Tables.lineitem(s, d)
-      .select(col("l_returnflag"), col("l_quantity").cast(LongType).as("q"))
+      .select(col("l_returnflag"), floor(col("l_quantity")).cast(LongType).as("q"))
     val ranked = li.withColumn("rk",
       row_number().over(Window.partitionBy("l_returnflag").orderBy(col("q"))))
     val counts = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
@@ -366,9 +369,9 @@ object Relational {
 
   val q16Sql: String =
     """SELECT l_returnflag, COUNT(*) AS n,
-      |  CAST(4 * quantile_cont(CAST(l_quantity AS BIGINT), 0.25) AS BIGINT) AS p25_x4,
-      |  CAST(4 * quantile_cont(CAST(l_quantity AS BIGINT), 0.50) AS BIGINT) AS p50_x4,
-      |  CAST(4 * quantile_cont(CAST(l_quantity AS BIGINT), 0.75) AS BIGINT) AS p75_x4
+      |  CAST(4 * quantile_cont(CAST(floor(l_quantity) AS BIGINT), 0.25) AS BIGINT) AS p25_x4,
+      |  CAST(4 * quantile_cont(CAST(floor(l_quantity) AS BIGINT), 0.50) AS BIGINT) AS p50_x4,
+      |  CAST(4 * quantile_cont(CAST(floor(l_quantity) AS BIGINT), 0.75) AS BIGINT) AS p75_x4
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

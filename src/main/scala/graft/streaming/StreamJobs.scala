@@ -205,7 +205,17 @@ object StreamJobs {
       .queryName(queryName)
       .start()
     q.processAllAvailable()
-    val dropped = q.recentProgress
+    val progress = q.recentProgress
+    // the progress buffer retains only the last
+    // spark.sql.streaming.numRecentProgressUpdates entries (default 100) —
+    // if batches outran it, early drops would silently vanish from the sum.
+    // Same silent-cap class as the oracle series windows: fail loudly.
+    val batchesRun = progress.lastOption.map(_.batchId + 1).getOrElse(0L)
+    require(progress.length.toLong >= batchesRun,
+      s"progress buffer holds ${progress.length} of $batchesRun batches — " +
+        "raise spark.sql.streaming.numRecentProgressUpdates before trusting " +
+        "the watermark-dropped count")
+    val dropped = progress
       .flatMap(p => Option(p.stateOperators).toSeq.flatten)
       .map(_.numRowsDroppedByWatermark).sum
     q.stop()
