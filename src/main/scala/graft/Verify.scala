@@ -30,20 +30,28 @@ object Verify {
       s"documents.text max length $maxLen exceeds the oracle series window " +
         "(2048 incl. gram tails) — widen generate_series in the oracle SQL " +
         "before trusting the gate")
+    // Dev-only narrowing (regex on query name) so a single new query can be
+    // oracle-checked without the full 65-query sweep; the driver never sets
+    // this, so its gate always runs everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    def selected(name: String): Boolean =
+      only.forall(_.findFirstIn(name).isDefined)
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      if (selected(name))
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
     }
     // kg oracle inputs: the pipeline's intermediate tables, dumped AFTER the
     // queries so the shared caches are warm (KgOracles scaladoc has the why)
     val auxDir = new java.io.File(s"$outDir/_oracle_aux").getAbsolutePath
-    try KgOracles.dumpAux(spark, sfDir, auxDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[verify] oracle aux dump failed: ${e.getMessage}")
-    }
+    if (SparkEntry.queries.keys.exists(n => n.startsWith("kg") && selected(n)))
+      try KgOracles.dumpAux(spark, sfDir, auxDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] oracle aux dump failed: ${e.getMessage}")
+      }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -59,6 +67,7 @@ object Verify {
     // `{AUX}` → the absolute aux-dump path: the driver's DuckDB runs with an
     // unknown cwd, so the oracle SQL must carry absolute read_parquet paths
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("{AUX}", auxDir))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

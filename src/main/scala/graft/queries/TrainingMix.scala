@@ -279,17 +279,68 @@ object TrainingMix {
       |  (1000000 * st) // tot_st AS w_sqrt_e6
       |FROM per2, tot ORDER BY source""".stripMargin
 
+  // x05: Z-ORDER layout clustering — the Iceberg/Delta `Z-ORDER BY` write
+  // optimization as an explicit, oracle-checkable operator. The z-key
+  // interleaves the bits of two dimensions (user bucket, hour-of-epoch
+  // bucket, 8 bits each), so sorting by it co-locates rows that are close in
+  // BOTH dimensions; bucketing the sorted order into 16 write units then
+  // yields files whose min/max ranges are tight on BOTH columns, which is
+  // what lets a scan prune files on either predicate. (A ts-sorted layout
+  // prunes only on ts — each file spans the whole user range; the spec pins
+  // the contrast.) Top-4 z bits = top-2 bits of EACH dimension, so every
+  // bucket's spread is ≤ 63 on both dims by construction. All arithmetic is
+  // integer (DIV/%/×4^i), identical in both engines.
+  private def zbit(dim: String, i: Int, weight: Long): String =
+    s"(($dim DIV ${1L << i}) % 2) * ${weight << (2 * i)}"
+  private val zkeyExpr = {
+    val terms = (0 until 8).flatMap(i => Seq(zbit("u", i, 1L), zbit("t", i, 2L)))
+    terms.mkString("(", " + ", ")")
+  }
+
+  // hour index from the NTZ wall-clock fields (datediff×24 + hour) — the
+  // events table is TIMESTAMP_NTZ, where unix_millis() does not apply and
+  // field reads are timezone-independent in both engines
+  def x05ZorderLayout(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .selectExpr("user_id % 256 AS u",
+        "CAST((datediff(CAST(ts AS DATE), DATE'1970-01-01') * 24 + hour(ts)) % 256 AS BIGINT) AS t")
+      .selectExpr("u", "t", s"$zkeyExpr AS zkey")
+      .selectExpr("u", "t", "zkey DIV 4096 AS bucket") // 16 write units
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("u")).as("u_min"), max(col("u")).as("u_max"),
+        min(col("t")).as("t_min"), max(col("t")).as("t_max"))
+      .orderBy(col("bucket"))
+
+  val x05Sql: String = {
+    val terms = (0 until 8).flatMap(i => Seq(
+      s"((u // ${1L << i}) % 2) * ${1L << (2 * i)}",
+      s"((t // ${1L << i}) % 2) * ${2L << (2 * i)}"))
+    s"""WITH dims AS (
+       |  SELECT user_id % 256 AS u,
+       |    CAST((datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) * 24
+       |          + hour(ts)) % 256 AS BIGINT) AS t
+       |  FROM events),
+       |keyed AS (SELECT u, t, ${terms.mkString("(", " + ", ")")} // 4096 AS bucket
+       |          FROM dims)
+       |SELECT bucket, COUNT(*) AS n,
+       |  MIN(u) AS u_min, MAX(u) AS u_max, MIN(t) AS t_min, MAX(t) AS t_max
+       |FROM keyed GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_stratified_sample" -> (x01StratifiedSample _),
     "x02_shard_packing" -> (x02ShardPacking _),
     "x03_decontaminate" -> (x03Decontaminate _),
     "x04_temperature_mix" -> (x04TemperatureMix _),
-    "d07_incremental_dedup" -> (d07IncrementalDedup _))
+    "d07_incremental_dedup" -> (d07IncrementalDedup _),
+    "x05_zorder_layout" -> (x05ZorderLayout _))
 
   val oracleSql: Map[String, String] = Map(
     "x01_stratified_sample" -> x01Sql,
     "x02_shard_packing" -> x02Sql,
     "x03_decontaminate" -> x03Sql,
     "x04_temperature_mix" -> x04Sql,
-    "d07_incremental_dedup" -> d07Sql)
+    "d07_incremental_dedup" -> d07Sql,
+    "x05_zorder_layout" -> x05Sql)
 }

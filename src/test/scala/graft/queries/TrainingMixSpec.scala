@@ -179,4 +179,39 @@ class TrainingMixSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq((1L, 0L, 0L), (2L, 2L, 0L)))
   }
+
+  /** x05's point is the LAYOUT property: z-bucket min/max ranges are tight on
+    * BOTH dimensions (top-4 z bits pin the top-2 bits of each dim ⇒ spread
+    * ≤ 63), whereas a plain ts-sorted layout leaves every file spanning the
+    * whole user range — the contrast this spec pins on the same input.
+    */
+  test("x05 z-order buckets bound BOTH dims; a ts-sorted layout does not") {
+    import spark.implicits._
+    // full 256×(every 8th hour) grid so both dimensions have real range —
+    // the driver tables at small SF have too few distinct users to show the
+    // layout contrast
+    val d = Files.createTempDirectory("graft_x05").toString
+    val rows0 = for (u <- 0 until 256; h <- 0 until 256 by 8) yield
+      (u.toLong, java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(1970, 1, 1, 0, 0).plusHours(h.toLong)))
+    rows0.toDF("user_id", "ts").write.mode("overwrite").parquet(s"$d/events.parquet")
+    val rows = TrainingMix.queries("x05_zorder_layout")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length == 16 && rows.map(_._2).sum == rows0.length)
+    for ((b, _, uMin, uMax, tMin, tMax) <- rows) {
+      assert(uMax - uMin <= 63L, s"bucket $b u-spread")
+      assert(tMax - tMin <= 63L, s"bucket $b t-spread")
+    }
+    // naive comparison layout: bucket by t alone (what a ts-sorted write
+    // produces) — t stays tight but u spans the whole 0..255 range
+    val naive = spark.read.parquet(s"$d/events.parquet")
+      .selectExpr("user_id % 256 AS u",
+        "CAST((datediff(CAST(ts AS DATE), DATE'1970-01-01') * 24 + hour(ts)) % 256 AS BIGINT) AS t")
+      .selectExpr("t DIV 16 AS bucket", "u")
+      .groupBy("bucket")
+      .agg(org.apache.spark.sql.functions.expr("max(u) - min(u) AS u_spread"))
+      .collect().map(_.getLong(1))
+    assert(naive.max === 255L)
+  }
 }
