@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Dedup, Graph, Relational, Similarity, TextAnalysis, TrainingMix}
+import graft.queries.{Dedup, Graph, Relational, Similarity, Sketches, TextAnalysis, TrainingMix}
 import graft.multimodal.Multimodal
 import graft.streaming.StreamingQueries
 
@@ -22,10 +22,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Graph.queries ++ Multimodal.queries ++
-      StreamingQueries.queries ++ TrainingMix.queries ++ KgPipeline.queries
+      StreamingQueries.queries ++ TrainingMix.queries ++ Sketches.queries ++
+      KgPipeline.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ TextAnalysis.oracleSql ++ Dedup.oracleSql ++
       Similarity.oracleSql ++ Graph.oracleSql ++ Multimodal.oracleSql ++
-      StreamingQueries.oracleSql ++ TrainingMix.oracleSql ++ KgPipeline.oracleSql
+      StreamingQueries.oracleSql ++ TrainingMix.oracleSql ++
+      Sketches.oracleSql ++ KgPipeline.oracleSql
 }
