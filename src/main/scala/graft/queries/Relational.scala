@@ -374,7 +374,54 @@ object Relational {
       |  CAST(4 * quantile_cont(CAST(floor(l_quantity) AS BIGINT), 0.75) AS BIGINT) AS p75_x4
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // q17: interval-overlap (range) join WITHOUT an equi key, made scale-safe
+  // by bin bucketing. Each 'error' event opens a 10-minute incident window
+  // [ts, ts+10min); the query counts all events (and distinct users) inside
+  // each window, across ALL users — so there is no natural join key and the
+  // naive plan is a BroadcastNestedLoopJoin (O(|windows|·|events|), the
+  // classic range-join scale killer). The bucketed plan derives one: bin the
+  // time axis at exactly the window length (600 s), so a window starting in
+  // bin b only ever overlaps bins {b, b+1}. Explode each window to those two
+  // bins, equi-join events on THEIR single home bin, then apply the precise
+  // containment predicate. Each (window, event) pair meets in exactly one
+  // bin — the event's home bin — so the join needs no post-dedup. Cost:
+  // 2·|windows| + |events| shuffle rows on a key whose skew is bounded by
+  // events-per-10-minutes, and both aggregates fold map-side. The oracle
+  // recomputes through DuckDB's native inequality join (IEJoin) — a
+  // different algorithm, same answer.
+  def q17IntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val binUs = 600000000L // 10 min in µs == the window length
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        // integer DIV (`/` on Columns is DOUBLE division — binning must not
+        // round); CAST: driver parquet is TIMESTAMP_NTZ, unix_micros wants
+        // LTZ. Any tz offset shifts window and event bins identically, and
+        // bin width == window length keeps the ≤2-bin overlap guarantee at
+        // any alignment, so the pairing is offset-invariant.
+        expr(s"unix_micros(CAST(ts AS TIMESTAMP)) DIV ${binUs}L").as("bin"))
+    val windows = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("wid"), col("ts").as("wts"),
+        explode(array(col("bin"), col("bin") + 1)).as("jbin"))
+    val probe = ev.select(col("bin").as("jbin"), col("ts").as("ets"),
+      col("user_id"))
+    windows.join(probe, Seq("jbin"))
+      .filter(col("ets") >= col("wts") &&
+        col("ets") < col("wts") + expr("INTERVAL 10 MINUTES"))
+      .groupBy(col("wid"))
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("wid"))
+  }
+
+  val q17Sql: String =
+    """SELECT w.event_id AS wid, COUNT(*) AS n_hits,
+      |  COUNT(DISTINCT e.user_id) AS n_users
+      |FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') w
+      |JOIN events e ON e.ts >= w.ts AND e.ts < w.ts + INTERVAL 10 MINUTE
+      |GROUP BY w.event_id ORDER BY w.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_interval_join" -> (q17IntervalJoin _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_events_per_year" -> (q02EventsPerYear _),
     "q03_region_revenue" -> (q03RegionRevenue _),
@@ -408,5 +455,6 @@ object Relational {
     "q13_orders_rollup" -> q13Sql,
     "q14_user_event_deltas" -> q14Sql,
     "q15_asof_join" -> q15Sql,
-    "q16_quantiles_rank_select" -> q16Sql)
+    "q16_quantiles_rank_select" -> q16Sql,
+    "q17_interval_join" -> q17Sql)
 }

@@ -76,4 +76,34 @@ class RelationalSpec extends AnyFunSuite {
       ("A", 9L, 12L, 20L, 28L),
       ("B", 10L, 13L, 22L, 31L)))
   }
+
+  /** q17 interval-join semantics pinned by hand, independent of the DuckDB
+    * IEJoin oracle — boundary cases the bucketed plan must not blur:
+    *  - an event AT the window start is included ([ts, ts+10min) is
+    *    left-closed), one at exactly ts+10min is excluded (right-open);
+    *  - a window crossing a 10-minute bin boundary still sees events whose
+    *    home bin is the NEXT bin (the explode-to-{b,b+1} path);
+    *  - the error event counts itself; users dedupe across hits;
+    *  - overlapping windows each count independently.
+    */
+  test("q17 interval join matches hand-computed goldens") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_q17").toString
+    def ts(s: String) = Timestamp.valueOf(s)
+    Seq(
+      (0L, ts("2024-01-01 00:05:00"), 1L, "error", 0.0, "{}"), // window [00:05, 00:15)
+      (1L, ts("2024-01-01 00:05:00"), 2L, "view", 0.0, "{}"), // == start → in
+      (2L, ts("2024-01-01 00:14:59.999999"), 2L, "view", 0.0, "{}"), // next bin, in
+      (3L, ts("2024-01-01 00:15:00"), 3L, "view", 0.0, "{}"), // == end → out
+      (4L, ts("2024-01-01 00:04:59"), 1L, "view", 0.0, "{}"), // before → out
+      (5L, ts("2024-01-01 00:10:00"), 3L, "error", 0.0, "{}"), // window [00:10, 00:20)
+      (6L, ts("2024-01-01 00:21:00"), 1L, "view", 0.0, "{}")) // after both
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Relational.queries("q17_interval_join")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (0L, 4L, 3L), // e0,e1,e2,e5 — users {1,2,3}
+      (5L, 3L, 2L))) // e2,e3,e5 — users {2,3}
+  }
 }
