@@ -194,11 +194,129 @@ object Sketches {
        |ORDER BY t.rk""".stripMargin
   }
 
+  // ---- sk03: Bloom filter build + probe ------------------------------------
+  // m = 4096 bits as 128 × 32-bit words (each word carried in a BIGINT so
+  // every value stays positive — no sign-bit parity risk), k = 3 seeded
+  // hashes; bit of key under seed j = first 3 md5 nibbles of 'b<j>' || key.
+  // Build side: the distinct users with an 'error' event. Word_w = BIT_OR of
+  // the masks landing in w — like the HLL registers, a commutative/
+  // associative per-word fold that Catalyst merges map-side, so the filter
+  // state is O(m) per build regardless of input rows (this is exactly the
+  // shape Spark's own runtime-filter pushdown materializes on the build side
+  // of a shuffle join). Probe side: ALL distinct users; a probe is 'maybe'
+  // iff all 3 of its bits are set (probe bits equi-join the 128-word state —
+  // broadcast — and fold by MIN(hit)). The readout keeps the classic Bloom
+  // contract observable: n_false_pos counts maybes that are NOT in the build
+  // set (via anti-membership left join), and no_false_neg is asserted by the
+  // spec (a build key can never probe negative).
+  private val bloomSeeds = 0 until 3
+  private val bloomWords = 128 // × 32 bits = 4096-bit filter
+
+  /** Bit position (0..4095) of `key` under seed `j`. */
+  private def bloomBit(j: Int, key: String, cat: (String, String) => String): String = {
+    val h = s"md5(${cat(s"'b$j'", key)})"
+    s"CAST((${nib(h, 1)} * 256 + ${nib(h, 2)} * 16 + ${nib(h, 3)}) AS BIGINT)"
+  }
+
+  def sk03BloomFilter(s: SparkSession, d: String): DataFrame = {
+    val keyExpr = "CAST(user_id AS STRING)"
+    val bitsOf = bloomSeeds.map(j =>
+      s"${bloomBit(j, keyExpr, sparkCat)}").mkString("array(", ", ", ")")
+    val ev = Tables.events(s, d)
+    val build = ev.filter(col("event_type") === "error")
+      .select(col("user_id")).distinct()
+    val buildBits = build.selectExpr(s"explode($bitsOf) AS bit")
+      .selectExpr("bit DIV 32 AS word_idx",
+        "shiftleft(CAST(1 AS BIGINT), CAST(bit % 32 AS INT)) AS mask")
+    val words0 = buildBits.groupBy(col("word_idx"))
+      .agg(bit_or(col("mask")).as("w"))
+    val words = s.range(bloomWords).toDF("word_idx")
+      .join(broadcast(words0), Seq("word_idx"), "left")
+      .select(col("word_idx"), coalesce(col("w"), lit(0L)).as("word"))
+    val probes = ev.select(col("user_id")).distinct()
+    val probeBits = probes.selectExpr("user_id", s"explode($bitsOf) AS bit")
+      .selectExpr("user_id", "bit DIV 32 AS word_idx",
+        "shiftleft(CAST(1 AS BIGINT), CAST(bit % 32 AS INT)) AS mask")
+    val verdicts = probeBits.join(broadcast(words), Seq("word_idx"))
+      .selectExpr("user_id",
+        "CASE WHEN (word & mask) = mask THEN 1L ELSE 0L END AS hit")
+      .groupBy(col("user_id")).agg(min(col("hit")).as("maybe"))
+      .join(build.withColumn("in_build", lit(1L)), Seq("user_id"), "left")
+      .select(col("maybe"), coalesce(col("in_build"), lit(0L)).as("in_build"))
+    val summary = verdicts.agg(
+      count(lit(1)).as("n_probe"),
+      sum(col("maybe")).cast("long").as("n_maybe"),
+      sum(when(col("maybe") === 1 && col("in_build") === 0, 1L).otherwise(0L))
+        .cast("long").as("n_false_pos"),
+      sum(col("in_build")).cast("long").as("n_build"))
+    val bitsSet = words.agg(
+      sum(bit_count(col("word")).cast("long")).cast("long").as("n_bits_set"))
+    words.crossJoin(broadcast(summary)).crossJoin(broadcast(bitsSet))
+      .orderBy(col("word_idx"))
+  }
+
+  val sk03Sql: String = {
+    val keyExpr = "CAST(user_id AS VARCHAR)"
+    def bits(alias: String) = bloomSeeds.map(j =>
+      s"SELECT $alias.user_id, ${bloomBit(j, keyExpr, duckCat)} AS bit FROM $alias")
+      .mkString("\n    UNION ALL\n    ")
+    s"""WITH build AS (
+       |  SELECT DISTINCT user_id FROM events WHERE event_type = 'error'),
+       |bbits AS (
+       |  SELECT bit // 32 AS word_idx,
+       |         (CAST(1 AS BIGINT) << CAST(bit % 32 AS INT)) AS mask
+       |  FROM (
+       |    ${bits("build")}
+       |  )),
+       |words0 AS (
+       |  SELECT word_idx, CAST(BIT_OR(mask) AS BIGINT) AS w
+       |  FROM bbits GROUP BY word_idx),
+       |frame AS (SELECT CAST(generate_series AS BIGINT) AS word_idx
+       |          FROM generate_series(0, ${bloomWords - 1})),
+       |words AS (
+       |  SELECT f.word_idx, CAST(COALESCE(w0.w, 0) AS BIGINT) AS word
+       |  FROM frame f LEFT JOIN words0 w0 ON f.word_idx = w0.word_idx),
+       |probes AS (SELECT DISTINCT user_id FROM events),
+       |pbits AS (
+       |  SELECT user_id, bit // 32 AS word_idx,
+       |         (CAST(1 AS BIGINT) << CAST(bit % 32 AS INT)) AS mask
+       |  FROM (
+       |    ${bits("probes")}
+       |  )),
+       |verdicts AS (
+       |  SELECT p.user_id,
+       |         MIN(CASE WHEN (w.word & p.mask) = p.mask THEN 1 ELSE 0 END)
+       |           AS maybe
+       |  FROM pbits p JOIN words w ON p.word_idx = w.word_idx
+       |  GROUP BY p.user_id),
+       |joined AS (
+       |  SELECT v.maybe,
+       |         CASE WHEN b.user_id IS NULL THEN 0 ELSE 1 END AS in_build
+       |  FROM verdicts v LEFT JOIN build b ON v.user_id = b.user_id),
+       |summary AS (
+       |  SELECT COUNT(*) AS n_probe,
+       |         CAST(SUM(maybe) AS BIGINT) AS n_maybe,
+       |         CAST(SUM(CASE WHEN maybe = 1 AND in_build = 0 THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_false_pos,
+       |         CAST(SUM(in_build) AS BIGINT) AS n_build
+       |  FROM joined),
+       |bits_set AS (
+       |  SELECT CAST(SUM(CAST(bit_count(word) AS BIGINT)) AS BIGINT)
+       |           AS n_bits_set
+       |  FROM words)
+       |SELECT words.word_idx, words.word, summary.n_probe, summary.n_maybe,
+       |       summary.n_false_pos, summary.n_build, bits_set.n_bits_set
+       |FROM words CROSS JOIN summary CROSS JOIN bits_set
+       |ORDER BY words.word_idx""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sk01_hll_distinct" -> (sk01HllDistinct _),
-    "sk02_cms_heavy_hitters" -> (sk02CmsHeavyHitters _))
+    "sk02_cms_heavy_hitters" -> (sk02CmsHeavyHitters _),
+    "sk03_bloom_filter" -> (sk03BloomFilter _))
 
   val oracleSql: Map[String, String] = Map(
     "sk01_hll_distinct" -> sk01Sql,
-    "sk02_cms_heavy_hitters" -> sk02Sql)
+    "sk02_cms_heavy_hitters" -> sk02Sql,
+    "sk03_bloom_filter" -> sk03Sql)
 }

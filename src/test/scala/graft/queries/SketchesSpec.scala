@@ -116,4 +116,43 @@ class SketchesSpec extends AnyFunSuite {
       assert(est >= exact, s"CMS undercounted $tok")
     }
   }
+
+  // ---- sk03 ----------------------------------------------------------------
+
+  test("sk03 words match a sequential Bloom filter; no false negatives") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_sk03").toString
+    // 200 users, every 5th has an error event → 40 build keys, 200 probes
+    val rows = (0L until 200L).map { u =>
+      (u, new java.sql.Timestamp(1704067200000L + u * 60000L), u,
+        if (u % 5 == 0) "error" else "view", 1.0, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+
+    def bitsOf(u: Long): Seq[Int] = (0 until 3).map { j =>
+      val h = md5hex(s"b$j$u")
+      nib(h, 1) * 256 + nib(h, 2) * 16 + nib(h, 3)
+    }
+    val buildKeys = (0L until 200L).filter(_ % 5 == 0)
+    val words = Array.fill(128)(0L)
+    buildKeys.flatMap(bitsOf).foreach { bit =>
+      words(bit / 32) |= (1L << (bit % 32))
+    }
+    def maybe(u: Long): Boolean =
+      bitsOf(u).forall(b => (words(b / 32) & (1L << (b % 32))) != 0)
+
+    val got = Sketches.queries("sk03_bloom_filter")(spark, d).collect()
+    assert(got.length == 128)
+    got.foreach(r => assert(r.getLong(1) == words(r.getLong(0).toInt),
+      s"word ${r.getLong(0)}"))
+    val h = got.head
+    val wantMaybe = (0L until 200L).count(maybe)
+    val wantFp = (0L until 200L).count(u => maybe(u) && u % 5 != 0)
+    assert((h.getLong(2), h.getLong(3), h.getLong(4), h.getLong(5)) ==
+      ((200L, wantMaybe.toLong, wantFp.toLong, 40L)))
+    assert(h.getLong(6) == words.map(java.lang.Long.bitCount(_).toLong).sum)
+    // structural Bloom guarantee: every build key probes positive
+    buildKeys.foreach(u => assert(maybe(u), s"false negative for $u"))
+  }
 }
