@@ -210,13 +210,104 @@ object Graph {
       |SELECT d.doc_id, CAST(COALESCE(c, 0) AS BIGINT) AS n_triangles
       |FROM documents d LEFT JOIN cnt USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // g05: single-source shortest paths with INTEGER edge weights — the
+  // weighted companion to g02's BFS. Graph: the g03 ring + doubling-shortcut
+  // edges (all nodes reachable from 0; shortcut edges keep the shortest-path
+  // hop diameter O(log n)), weight of both edges out of src = 1 + src % 7.
+  // Engine side runs FRONTIER Bellman-Ford: only nodes whose distance
+  // improved last round are re-relaxed (at 100 TB the classic all-node
+  // relax-every-round is O(E·rounds); the frontier variant touches each edge
+  // only when its source improves — the delta the GraphX/Pregel formulation
+  // exploits). Rounds are bounded by the shortest-path HOP diameter, and the
+  // 64-round cap is a loud corruption guard (2·log2(n) + slack covers any
+  // conceivable SF; the shortcut edge halves the remaining id distance the
+  // way binary expansion does), never a silent truncation: exceeding it
+  // throws. Integer distances are unique minima, so the result is
+  // shuffle-order-free and driver-hash-exact. The oracle recomputes through
+  // CLASSIC Bellman-Ford — the full dist set re-relaxed each of 64 unrolled
+  // CTE steps (monotone, so overshooting the fixpoint is a no-op) — a
+  // different algorithm with the same answer.
+  private val SsspMaxRounds = 64
+
+  def g05Sssp(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id")).localCheckpoint(true)
+    val n = docs.count()
+    require(n > 0, "g05 SSSP needs a non-empty documents table")
+    val edges = docs.selectExpr("doc_id AS src", s"(doc_id + 1) % $n AS dst",
+        "CAST(1 + doc_id % 7 AS BIGINT) AS w")
+      .unionAll(docs.selectExpr("doc_id AS src", s"(doc_id * 2 + 1) % $n AS dst",
+        "CAST(1 + doc_id % 7 AS BIGINT) AS w"))
+      .localCheckpoint(eager = true) // reused every round
+    graft.plans.Aqe.without(s) {
+      var dist = docs.filter(col("doc_id") === 0)
+        .selectExpr("doc_id AS node", "CAST(0 AS BIGINT) AS dist")
+        .localCheckpoint(eager = true)
+      var frontier = dist
+      var productive = 0
+      var done = false
+      while (!done) {
+        val improved = edges
+          .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+          .selectExpr("dst AS node", "dist + w AS cand")
+          .groupBy(col("node")).agg(min(col("cand")).as("cand"))
+          .join(dist, Seq("node"), "left")
+          .filter(col("dist").isNull || col("cand") < col("dist"))
+          .selectExpr("node", "cand AS dist")
+          .localCheckpoint(eager = true) // leaf per round: plans stay O(round)
+        if (improved.isEmpty) done = true
+        else {
+          productive += 1
+          require(productive <= SsspMaxRounds,
+            s"g05 SSSP exceeded $SsspMaxRounds productive rounds — the " +
+              "shortcut graph's hop diameter is O(log n), so the input is " +
+              "corrupt (or the oracle's unroll depth needs the same raise)")
+          dist = dist.join(improved, Seq("node"), "left_anti").union(improved)
+            .localCheckpoint(eager = true)
+          frontier = improved
+        }
+      }
+      dist.selectExpr("node AS doc_id", "dist").orderBy(col("doc_id"))
+    }
+  }
+
+  val g05Sql: String = {
+    // e MUST be MATERIALIZED: DuckDB inlines plain CTEs per reference, so 64
+    // unrolled steps would re-open the parquet ~128 times and trip the
+    // process fd limit ("Too many open files") before any row is wrong
+    val head =
+      """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        |e AS MATERIALIZED (
+        |  SELECT doc_id AS src, (doc_id + 1) % (SELECT n FROM nn) AS dst,
+        |         CAST(1 + doc_id % 7 AS BIGINT) AS w FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 2 + 1) % (SELECT n FROM nn),
+        |         CAST(1 + doc_id % 7 AS BIGINT) FROM documents),
+        |d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist)""".stripMargin
+    // every step MATERIALIZED as well: each d_i is referenced twice (carry +
+    // relax), so inlined CTEs would double the plan per step — a 2^64
+    // planning blowup that hangs before producing a row
+    val steps = (1 to SsspMaxRounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, MIN(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, d${i - 1}.dist + e.w AS dist
+         |    FROM e JOIN d${i - 1} ON e.src = d${i - 1}.node)
+         |  GROUP BY node)""".stripMargin
+    }
+    (Seq(head) ++ steps).mkString(",\n") +
+      s"\nSELECT node AS doc_id, dist FROM d$SsspMaxRounds ORDER BY node"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g05_sssp" -> (g05Sssp _),
     "g01_cc_chains" -> (g01CcChains _),
     "g02_tree_depth" -> (g02TreeDepth _),
     "g03_pagerank" -> (g03PageRank _),
     "g04_triangles" -> (g04Triangles _))
 
   val oracleSql: Map[String, String] = Map(
+    "g05_sssp" -> g05Sql,
     "g01_cc_chains" -> g01Sql,
     "g02_tree_depth" -> g02Sql,
     "g03_pagerank" -> g03Sql,

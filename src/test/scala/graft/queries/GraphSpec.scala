@@ -41,4 +41,42 @@ class GraphSpec extends AnyFunSuite {
       assert(got(i) == expected.getOrElse(i, 0L), s"n_triangles($i)")
     assert(expected.values.sum / 3 >= n) // ring2 ⇒ every consecutive triple
   }
+
+  /** g05's frontier Bellman-Ford must equal a sequential Dijkstra over the
+    * same weighted graph — a THIRD algorithm, independent of both the
+    * engine's frontier loop and the oracle's unrolled classic relaxation.
+    * n = 157 (prime) exercises wraparound shortcuts and weight variety; the
+    * assert on reached == all nodes pins the reachability claim the output
+    * contract relies on.
+    */
+  test("g05 SSSP == sequential Dijkstra; all nodes reached") {
+    import spark.implicits._
+    val n = 157L
+    val dir = Files.createTempDirectory("graft_g05").toString
+    (0L until n).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val adj = (0L until n).flatMap { i =>
+      val w = 1L + i % 7
+      Seq((i, (i + 1) % n, w), (i, (2 * i + 1) % n, w))
+    }.groupBy(_._1).map { case (s0, es) => s0 -> es.map(e => (e._2, e._3)) }
+    val dist = scala.collection.mutable.Map(0L -> 0L)
+    val pq = scala.collection.mutable.PriorityQueue((0L, 0L))(
+      Ordering.by[(Long, Long), Long](_._1).reverse)
+    while (pq.nonEmpty) {
+      val (dd, u) = pq.dequeue()
+      if (dist(u) == dd)
+        adj.getOrElse(u, Nil).foreach { case (v, w) =>
+          if (dist.get(v).forall(_ > dd + w)) {
+            dist(v) = dd + w; pq.enqueue((dd + w, v))
+          }
+        }
+    }
+    assert(dist.keySet == (0L until n).toSet) // everything reachable from 0
+
+    val got = Graph.queries("g05_sssp")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == (0L until n).toSet)
+    for (i <- 0L until n) assert(got(i) == dist(i), s"dist($i)")
+  }
 }
