@@ -161,6 +161,44 @@ object StreamJobs {
     spark.table(queryName)
   }
 
+  /** st05: STREAM-STREAM interval join — clicks matched to the errors that
+    * follow them within 30 minutes for the same user. This is the join shape
+    * Structured Streaming keeps two-sided state for: each side buffers rows
+    * until the OTHER side's watermark passes the interval bound, then evicts
+    * — the time-range condition is what makes the state finite (an
+    * unconstrained stream-stream join would buffer both streams forever).
+    * Inner-join matches emit eagerly per micro-batch; the watermark governs
+    * state eviction only, so the complete result equals the batch join
+    * (StreamJobsSpec proves it over real multi-batch streams). The identical
+    * transform runs on two batch frames for the driver oracle.
+    */
+  def clickErrorJoin(clicks: DataFrame, errors: DataFrame): DataFrame =
+    clicks.alias("c").join(errors.alias("x"),
+      expr("c.user_id = x.user_id AND x.ts >= c.ts AND " +
+        "x.ts <= c.ts + INTERVAL 30 MINUTES"))
+      .select(col("c.event_id").as("click_id"), col("x.event_id").as("error_id"))
+
+  def runJoinStream(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    def side(tpe: String) = spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .filter(col("event_type") === tpe)
+      // 1 h watermark on BOTH sides: required for state cleanup on a
+      // stream-stream join (with the 30-min range bound it caps buffered
+      // state at ~90 min of stream time per side)
+      .withWatermark("ts", "1 hour")
+    val q = clickErrorJoin(side("click"), side("error"))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   // ---- watermark late-data semantics ---------------------------------------
 
   /** 10-minute tumbling count with a 10-minute watermark. On a stream in

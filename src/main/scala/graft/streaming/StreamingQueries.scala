@@ -73,15 +73,37 @@ object StreamingQueries {
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |GROUP BY 1 ORDER BY nation""".stripMargin
 
+  // st05: stream-stream interval join (clicks → errors within 30 min, same
+  // user), the two-sided-state streaming join — batch entry for the driver
+  // oracle; StreamJobsSpec proves the real multi-batch stream emits the
+  // identical pair set.
+  def st05StreamStreamJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    StreamJobs.clickErrorJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "error"))
+      .orderBy(col("click_id"), col("error_id"))
+  }
+
+  val st05Sql: String =
+    """SELECT c.event_id AS click_id, x.event_id AS error_id
+      |FROM events c JOIN events x
+      |  ON x.user_id = c.user_id
+      | AND x.ts >= c.ts AND x.ts <= c.ts + INTERVAL 30 MINUTE
+      |WHERE c.event_type = 'click' AND x.event_type = 'error'
+      |ORDER BY click_id, error_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_windowed_agg" -> (st01WindowedAgg _),
     "st02_sessionize" -> (st02Sessionize _),
     "st03_stream_dedup" -> (st03StreamDedup _),
-    "st04_stream_enrich" -> (st04StreamEnrich _))
+    "st04_stream_enrich" -> (st04StreamEnrich _),
+    "st05_stream_stream_join" -> (st05StreamStreamJoin _))
 
   def oracleSql: Map[String, String] = Map(
     "st01_windowed_agg" -> st01Sql,
     "st02_sessionize" -> st02Sql,
     "st03_stream_dedup" -> st03Sql,
-    "st04_stream_enrich" -> st04Sql)
+    "st04_stream_enrich" -> st04Sql,
+    "st05_stream_stream_join" -> st05Sql)
 }

@@ -85,6 +85,68 @@ class StreamJobsSpec extends AnyFunSuite {
     assert(sessions == expected)
   }
 
+  test("stream-stream interval join emits exactly the batch pair set over ordered micro-batches") {
+    // 4 REAL micro-batches staged in event-time order (contiguous ts ranges,
+    // ascending mtimes): with in-order arrival the 1 h watermark can never
+    // evict a buffered click before its 30-min error window has fully
+    // streamed past, so the append-mode stream must emit EXACTLY the batch
+    // join's pairs — including matches whose two sides arrive in DIFFERENT
+    // micro-batches (guaranteed here by cutting shards mid-timeline).
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_join").toString
+    val sorted = ev.orderBy("ts").collect()
+    val slice = (sorted.length + 3) / 4
+    for ((rows, i) <- sorted.grouped(slice).zipWithIndex) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_join_shard").toString
+      spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(rows: _*)),
+          ev.schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val target = new java.io.File(dir, f"shard$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, target.toPath)
+      assert(target.setLastModified(1700000000000L + i * 60000L))
+    }
+    val streamed = StreamJobs.runJoinStream(spark, dir, "st05_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val batch = StreamingQueries.queries("st05_stream_stream_join")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(batch.nonEmpty) // fixture must actually exercise the join
+    assert(streamed.sameElements(batch))
+  }
+
+  test("stream-stream join matches across micro-batch boundaries and respects the interval bound") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // shard 0: a click; shard 1: an in-window error (CROSS-batch match — the
+    // click must still be buffered when the other side's row arrives a
+    // micro-batch later) + a same-user view (ignored); shard 2: an error at
+    // exactly +30 min (inclusive bound) and one past it (excluded), plus an
+    // other-user error (no user match)
+    val shards = Seq(
+      Seq((100L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, "{}")),
+      Seq((101L, ts("2024-01-01 10:10:00"), 1L, "error", 1.0, "{}"),
+        (102L, ts("2024-01-01 10:11:00"), 1L, "view", 1.0, "{}")),
+      Seq((103L, ts("2024-01-01 10:30:00"), 1L, "error", 1.0, "{}"),
+        (104L, ts("2024-01-01 10:30:01"), 1L, "error", 1.0, "{}"),
+        (105L, ts("2024-01-01 10:15:00"), 2L, "error", 1.0, "{}")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_join_synth").toString
+    for ((rows, i) <- shards.zipWithIndex) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_join_synth_shard").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val target = new java.io.File(dir, f"shard$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, target.toPath)
+      assert(target.setLastModified(1700000000000L + i * 60000L))
+    }
+    val got = StreamJobs.runJoinStream(spark, dir, "st05_synth_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq == Seq((100L, 101L), (100L, 103L)))
+  }
+
   test("append-mode watermark drops too-late rows and never emits open windows") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
