@@ -241,13 +241,92 @@ object Similarity {
        |  FROM scored) t
        |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin
 
+  // ---- s04: k-means assignment (the Lloyd half-step), integer-exact --------
+  // The clustering pass a curation pipeline runs over embeddings (domain
+  // balancing, semantic dedup cohorts). k = 8 seed centroids = the vectors
+  // of vec_id 0..7; every vector is assigned to the nearest centroid by
+  // squared L2 over MILLI-QUANTIZED components (floor(x·1000) as BIGINT —
+  // float L2 can't be driver-hash-exact, but quantized distances are
+  // integers with unique deterministic minima under the (dist, centroid_id)
+  // tiebreak). Output per cluster: member count, exact SSE, and the
+  // component-sum evidence of the centroid UPDATE step (sum_q0; a full
+  // Lloyd iteration needs only these sums ÷ counts). Plan shape at 100 TB:
+  // the k×dim centroid frame broadcasts onto a single embedding scan, the
+  // per-pair fold is a codegen'd HOF (no UDF), and the argmin + the cluster
+  // aggregate both fold map-side — one shuffle of k·|vecs| tiny rows, then
+  // one of k rows.
+  private val KClusters = 8
+  private val quantExpr =
+    "transform(%s, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+  private val distExpr =
+    s"aggregate(zip_with(${quantExpr.format("ve")}, ${quantExpr.format("ke")}, " +
+      "(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+
+  def s04KmeansAssign(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = emb.filter(col("vec_id") < KClusters)
+      .select(col("vec_id").as("cid"), col("embedding").as("ke"))
+    val pairs = emb.select(col("vec_id"), col("embedding").as("ve"))
+      .crossJoin(broadcast(cents))
+      .selectExpr("vec_id", "cid", s"$distExpr AS dist",
+        s"element_at(${quantExpr.format("ve")}, 1) AS q0")
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("cid"))
+    val assigned = pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+    val agg = assigned.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("dist")).cast("long").as("sse"),
+        sum(col("q0")).cast("long").as("sum_q0"))
+    s.range(KClusters).toDF("cid")
+      .join(broadcast(agg), Seq("cid"), "left")
+      .select(col("cid"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        coalesce(col("sse"), lit(0L)).as("sse"),
+        coalesce(col("sum_q0"), lit(0L)).as("sum_q0"))
+      .orderBy(col("cid"))
+  }
+
+  val s04Sql: String = {
+    def quant(e: String, i: String) =
+      s"CAST(floor(CAST($e[$i] AS DOUBLE) * 1000) AS BIGINT)"
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding AS ke FROM embeddings
+       |  WHERE vec_id < $KClusters),
+       |pairs AS (
+       |  SELECT v.vec_id, c.cid,
+       |    (SELECT SUM((${quant("v.embedding", "i")} - ${quant("c.ke", "i")}) *
+       |                (${quant("v.embedding", "i")} - ${quant("c.ke", "i")}))
+       |     FROM generate_series(1, $Dim) t(i)) AS dist,
+       |    ${quant("v.embedding", "1")} AS q0
+       |  FROM embeddings v CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, cid, dist, q0,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+       |    FROM pairs) WHERE rk = 1),
+       |agg AS (
+       |  SELECT cid, COUNT(*) AS n_members, CAST(SUM(dist) AS BIGINT) AS sse,
+       |         CAST(SUM(q0) AS BIGINT) AS sum_q0
+       |  FROM assigned GROUP BY cid),
+       |frame AS (SELECT CAST(generate_series AS BIGINT) AS cid
+       |          FROM generate_series(0, ${KClusters - 1}))
+       |SELECT f.cid, CAST(COALESCE(a.n_members, 0) AS BIGINT) AS n_members,
+       |       CAST(COALESCE(a.sse, 0) AS BIGINT) AS sse,
+       |       CAST(COALESCE(a.sum_q0, 0) AS BIGINT) AS sum_q0
+       |FROM frame f LEFT JOIN agg a ON f.cid = a.cid
+       |ORDER BY f.cid""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_knn_brute" -> (s01KnnBrute _),
     "s02_ann_lsh" -> (s02AnnLsh _),
-    "s03_ivf_topk" -> (s03IvfTopk _))
+    "s03_ivf_topk" -> (s03IvfTopk _),
+    "s04_kmeans_assign" -> (s04KmeansAssign _))
 
   val oracleSql: Map[String, String] = Map(
     "s01_knn_brute" -> s01Sql,
     "s02_ann_lsh" -> s02Sql,
-    "s03_ivf_topk" -> s03Sql)
+    "s03_ivf_topk" -> s03Sql,
+    "s04_kmeans_assign" -> s04Sql)
 }
