@@ -205,7 +205,58 @@ object TextAnalysis {
       |FROM toks LEFT JOIN agg ON toks.doc_id = agg.doc_id
       |ORDER BY toks.doc_id""".stripMargin
 
+  // t07: cross-document n-gram novelty — the memorization-risk signal: what
+  // fraction of a doc's distinct word 3-grams also appear in at least one
+  // OTHER document (df >= 2 over doc-distinct grams; a doc can't share a
+  // gram with itself). The classic inverted-index shape at 100 TB: explode
+  // doc-distinct grams once, one gram-keyed shuffle for document frequency,
+  // join the df back onto the SAME gram rows (output cardinality == gram
+  // rows — a hot gram fattens no join product, it only raises its df), one
+  // doc-keyed aggregate. Docs too short for a 3-gram surface novelty 1.0 by
+  // convention. The single novelty division is one correctly-rounded DOUBLE
+  // op on exact BIGINTs — identical in both engines (t02's rule).
+  def t07NgramNovelty(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val grams = docs.selectExpr("doc_id", "split(text, ' ') AS toks")
+      .filter(size(col("toks")) >= 3)
+      .selectExpr("doc_id",
+        s"explode(array_distinct(${Dedup.wordGramExpr(3)})) AS g")
+    val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val perDoc = grams.join(dfreq, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams_distinct"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).cast("long").as("n_shared"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_grams_distinct", "n_shared"))
+      .selectExpr("doc_id", "n_grams_distinct", "n_shared",
+        "CASE WHEN n_grams_distinct = 0 THEN CAST(1.0 AS DOUBLE) " +
+          "ELSE CAST(n_grams_distinct - n_shared AS DOUBLE) / " +
+          "CAST(n_grams_distinct AS DOUBLE) END AS novelty")
+      .orderBy(col("doc_id"))
+  }
+
+  val t07Sql: String =
+    """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |series AS (SELECT i FROM generate_series(1, 2048) t(i)),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+      |  FROM docs JOIN series ON i <= length(toks) - 2),
+      |dfreq AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g),
+      |agg AS (
+      |  SELECT doc_id, COUNT(*) AS n1,
+      |         SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n2
+      |  FROM grams JOIN dfreq USING (g) GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(n1, 0) AS BIGINT) AS n_grams_distinct,
+      |  CAST(COALESCE(n2, 0) AS BIGINT) AS n_shared,
+      |  CASE WHEN COALESCE(n1, 0) = 0 THEN CAST(1.0 AS DOUBLE)
+      |       ELSE CAST(n1 - n2 AS DOUBLE) / CAST(n1 AS DOUBLE) END AS novelty
+      |FROM documents d LEFT JOIN agg USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t07_ngram_novelty" -> (t07NgramNovelty _),
     "t01_token_stats" -> (t01TokenStats _),
     "t02_quality_score" -> (t02QualityScore _),
     "t03_lang_id" -> (t03LangId _),
@@ -219,5 +270,6 @@ object TextAnalysis {
     "t03_lang_id" -> t03Sql,
     "t04_fingerprint" -> t04Sql,
     "t05_bpe_tokens" -> t05Sql,
-    "t06_repetition" -> t06Sql)
+    "t06_repetition" -> t06Sql,
+    "t07_ngram_novelty" -> t07Sql)
 }

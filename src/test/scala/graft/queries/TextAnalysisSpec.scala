@@ -38,4 +38,29 @@ class TextAnalysisSpec extends AnyFunSuite {
       (3L, 4L, 0.5, 0.5, 3.0 / 5.0))
     assert(got == want)
   }
+
+  /** t07 against hand-computed novelty — pins that sharing means df >= 2
+    * over DOC-DISTINCT grams (a gram repeated within one doc does not make
+    * it "shared"), that the short-doc convention is novelty 1.0, and that
+    * sharing is symmetric across the sharing docs.
+    */
+  test("t07 n-gram novelty matches hand-computed goldens") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_t07").toString
+    Seq(
+      (0L, "a b c d"),       // grams {abc, bcd}; abc shared with doc 2
+      (1L, "p q"),           // too short: 0 grams, novelty 1.0
+      (2L, "a b c a b c"),   // doc-distinct {abc, bca, cab}; abc shared
+      (3L, "u v w x"))       // {uvw, vwx} fully novel
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.queries("t07_ngram_novelty")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val want = Seq(
+      (0L, 2L, 1L, 0.5),   // abc shared (df=2 via doc 2), bcd novel
+      (1L, 0L, 0L, 1.0),
+      (2L, 3L, 1L, 2.0 / 3.0), // within-doc repeat of abc is NOT sharing
+      (3L, 2L, 0L, 1.0))
+    assert(got == want)
+  }
 }
