@@ -420,7 +420,35 @@ object Relational {
       |JOIN events e ON e.ts >= w.ts AND e.ts < w.ts + INTERVAL 10 MINUTE
       |GROUP BY w.event_id ORDER BY w.event_id""".stripMargin
 
+  // q18: PIVOT — the wide-table reshaping operator (per-day event counts,
+  // one column per event type). The type domain is passed EXPLICITLY to
+  // pivot(): with an explicit value list the plan is a single regular
+  // aggregate (one shuffle, map-side combinable, streaming-friendly);
+  // without one Spark first runs a distinct-values job and collects the
+  // domain to the driver — a silent extra pass over 100 TB. The oracle
+  // reshapes through conditional aggregation, the relational-algebra
+  // identity pivot desugars to.
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def q18Pivot(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).cast(TimestampNTZType).as("day"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, EventTypes)
+      .select(col("day") +: EventTypes.map(t => col(t).as(s"n_$t")): _*)
+      .orderBy(col("day"))
+
+  val q18Sql: String = {
+    val cols = EventTypes.map(t => // CAST: DuckDB SUM(INT) widens to HUGEINT
+      s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t")
+    s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       |  ${cols.mkString(",\n  ")}
+       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_pivot" -> (q18Pivot _),
     "q17_interval_join" -> (q17IntervalJoin _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_events_per_year" -> (q02EventsPerYear _),
@@ -456,5 +484,6 @@ object Relational {
     "q14_user_event_deltas" -> q14Sql,
     "q15_asof_join" -> q15Sql,
     "q16_quantiles_rank_select" -> q16Sql,
-    "q17_interval_join" -> q17Sql)
+    "q17_interval_join" -> q17Sql,
+    "q18_pivot" -> q18Sql)
 }

@@ -106,4 +106,28 @@ class RelationalSpec extends AnyFunSuite {
       (0L, 4L, 3L), // e0,e1,e2,e5 — users {1,2,3}
       (5L, 3L, 2L))) // e2,e3,e5 — users {2,3}
   }
+
+  /** q18 pivot semantics pinned by hand: a day missing a type entirely gets
+    * 0 (the null-cell fill path), and counts land in the right (day, type)
+    * cell with the column order fixed by the explicit domain list.
+    */
+  test("q18 pivot matches hand-computed goldens") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_q18").toString
+    def ts(s: String) = Timestamp.valueOf(s)
+    Seq(
+      (0L, ts("2024-01-01 01:00:00"), 1L, "click", 0.0, "{}"),
+      (1L, ts("2024-01-01 02:00:00"), 1L, "click", 0.0, "{}"),
+      (2L, ts("2024-01-01 03:00:00"), 2L, "view", 0.0, "{}"),
+      (3L, ts("2024-01-02 01:00:00"), 1L, "error", 0.0, "{}"),
+      (4L, ts("2024-01-02 23:59:59"), 2L, "signup", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Relational.queries("q18_pivot")(spark, d).collect()
+      .map(r => (r.get(0).toString, r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      ("2024-01-01T00:00", 2L, 0L, 0L, 0L, 1L),
+      ("2024-01-02T00:00", 0L, 1L, 0L, 1L, 0L)))
+  }
 }
