@@ -44,6 +44,13 @@ object ExplainDump {
     "x04_temperature_mix",
     "m02_frame_sample",
     "st01_windowed_agg",
+    "st05_stream_stream_join", // interval join shape (batch twin of the stream)
+    "q17_interval_join",    // keyless range join via bin-bucketed equi-join
+    "q18_pivot",            // explicit-domain pivot: ONE aggregate, no domain job
+    "s04_kmeans_assign",    // broadcast centroids + single scan argmin
+    "t07_ngram_novelty",    // inverted-index df join-back
+    "sk01_hll_distinct",    // sketch state: map-side-combinable register MAX
+    "sk03_bloom_filter",    // sketch probe: broadcast word state
     "kg02_events_per_year", // edge-cache scan shape
     "kg11_company_entities" // longest chain-join query
   )
