@@ -447,7 +447,34 @@ object Relational {
        |FROM events GROUP BY 1 ORDER BY day""".stripMargin
   }
 
+  // q19: TIME-RANGE sliding window — per event, the same user's activity in
+  // the trailing hour ([ts-1h, ts], RANGE frame => ts peers share a frame).
+  // This is the frame family rows-BETWEEN cannot express (q08 covers rows
+  // frames): the frame edge is a time offset, not a row count. One window
+  // exchange on user_id, sorted once per partition; the value sum stays in
+  // exact e6 integer units (st02's rule) so the gate is hash-exact.
+  def q19SlidingWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).selectExpr(
+      "event_id", "user_id",
+      "COUNT(*) OVER (PARTITION BY user_id ORDER BY ts " +
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_last_hour",
+      "SUM(CAST(round(value * 1000000) AS BIGINT)) OVER (PARTITION BY user_id " +
+        "ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) " +
+        "AS sum_value_e6_last_hour")
+      .orderBy(col("event_id"))
+
+  val q19Sql: String =
+    """SELECT event_id, user_id,
+      |  COUNT(*) OVER w AS n_last_hour,
+      |  CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) OVER w AS BIGINT)
+      |    AS sum_value_e6_last_hour
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+      |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_sliding_window" -> (q19SlidingWindow _),
     "q18_pivot" -> (q18Pivot _),
     "q17_interval_join" -> (q17IntervalJoin _),
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -485,5 +512,6 @@ object Relational {
     "q15_asof_join" -> q15Sql,
     "q16_quantiles_rank_select" -> q16Sql,
     "q17_interval_join" -> q17Sql,
-    "q18_pivot" -> q18Sql)
+    "q18_pivot" -> q18Sql,
+    "q19_sliding_window" -> q19Sql)
 }

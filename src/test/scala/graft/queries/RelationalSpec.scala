@@ -130,4 +130,31 @@ class RelationalSpec extends AnyFunSuite {
       ("2024-01-01T00:00", 2L, 0L, 0L, 0L, 1L),
       ("2024-01-02T00:00", 0L, 1L, 0L, 1L, 0L)))
   }
+
+  /** q19 time-range frame semantics pinned by hand: the trailing-hour frame
+    * is inclusive at exactly -1 h, excludes one second beyond it, never
+    * crosses users, and RANGE (not ROWS) means ts-duplicate peers count each
+    * other symmetrically.
+    */
+  test("q19 sliding time-range window matches hand-computed goldens") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_q19").toString
+    def ts(s: String) = Timestamp.valueOf(s)
+    Seq(
+      (0L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (1L, ts("2024-01-01 11:00:00"), 1L, "view", 2.0, "{}"), // incl. 10:00 (exact -1h)
+      (2L, ts("2024-01-01 11:00:01"), 1L, "view", 4.0, "{}"), // 10:00 now out
+      (3L, ts("2024-01-01 11:00:01"), 1L, "view", 8.0, "{}"), // ts peer of e2
+      (4L, ts("2024-01-01 10:30:00"), 2L, "view", 16.0, "{}")) // other user
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Relational.queries("q19_sliding_window")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (0L, 1L, 1L, 1000000L),
+      (1L, 1L, 2L, 3000000L), // 10:00 + 11:00
+      (2L, 1L, 3L, 14000000L), // 11:00 + both 11:00:01 peers
+      (3L, 1L, 3L, 14000000L), // RANGE: identical frame as its ts peer
+      (4L, 2L, 1L, 16000000L)))
+  }
 }
