@@ -645,7 +645,104 @@ object Dedup {
       |WHERE 5 * c >= 3 * (na + nb - c)
       |ORDER BY jaccard_e3 DESC, a, b""".stripMargin
 
+  // ---- d09: MinHash calibration — estimate vs truth, measured ------------
+  // For every rep-level LSH candidate pair: the MinHash ESTIMATE of Jaccard
+  // (agreeing signature slots / NSeeds, in e3 units) next to the EXACT
+  // char-8-gram Jaccard the signatures approximate, plus the absolute error.
+  // This is the "measure, don't guess" operator for the dedup family: at
+  // 100 TB you tune band/seed counts from exactly this calibration table,
+  // not from the textbook formula. Slot agreement is counted over the FULL
+  // signature set (mega-bucket bands included — calibration must see every
+  // slot); candidates come from the same guarded banding as d02, and the
+  // exact side reuses d02's candidates-only explode shape, but over the
+  // char shingles the signatures are actually built from (word grams would
+  // calibrate against the wrong universe). Every candidate pair agrees in
+  // >= 1 bounded band by construction, so the agree join is inner.
+  def d09MinhashCalibration(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .filter(size(split(col("text"), " ")) >= 3)
+    val pro = prologue(s, d)
+    val sigs = pro.sigs
+    val bucketSizes = sigs.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= 50)
+      .select(col("band"), col("sig"))
+    val bounded = sigs.join(bucketSizes, Seq("band", "sig"), "left_semi")
+    val cand = bounded.as("x").join(bounded.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+      .localCheckpoint(true) // feeds agree, candDocs and the final join
+    val agree = cand.join(sigs.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("b") === col("sb.doc_id") &&
+        col("sa.band") === col("sb.band"))
+      .filter(col("sa.sig") === col("sb.sig"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_agree"))
+    val candDocs = cand.selectExpr("explode(array(a, b)) AS doc_id").distinct()
+    val sh = docs.join(candDocs, Seq("doc_id"), "left_semi")
+      .selectExpr("doc_id",
+        "explode(array_distinct(transform(sequence(1, greatest(length(text) - 7, 1)), " +
+          "i -> substr(text, i, 8)))) AS sh")
+      .localCheckpoint(true) // read by sizes and both sides of common
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = cand
+      .join(sh.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_common"))
+    cand
+      .join(agree, Seq("a", "b"))
+      .join(common, Seq("a", "b"), "left")
+      .na.fill(0L, Seq("n_common"))
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), Seq("a"))
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), Seq("b"))
+      .selectExpr("a", "b", "n_agree",
+        s"(1000 * n_agree) DIV $NSeeds AS est_e3",
+        "(1000 * n_common) DIV (na + nb - n_common) AS jacc_e3")
+      .selectExpr("a", "b", "n_agree", "est_e3", "jacc_e3",
+        "abs(est_e3 - jacc_e3) AS err_e3")
+      .orderBy(col("a"), col("b"))
+  }
+
+  val d09Sql: String =
+    s"""$lshPrologueSql,
+       |keep AS (
+       |  SELECT band, sig FROM bands0 GROUP BY band, sig HAVING COUNT(*) <= 50),
+       |bands AS (SELECT bands0.* FROM bands0 JOIN keep USING (band, sig)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+       |agree AS (
+       |  SELECT a, b, COUNT(*) AS n_agree
+       |  FROM cand
+       |  JOIN bands0 sa ON a = sa.doc_id
+       |  JOIN bands0 sb ON b = sb.doc_id AND sa.band = sb.band AND sa.sig = sb.sig
+       |  GROUP BY a, b),
+       |cdocs AS (SELECT a AS doc_id FROM cand UNION SELECT b FROM cand),
+       |csh AS (
+       |  SELECT DISTINCT doc_id, substr(text, i, 8) AS sh
+       |  FROM docs JOIN series ON i <= greatest(length(text) - 7, 1)
+       |  WHERE doc_id IN (SELECT doc_id FROM cdocs)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM csh GROUP BY doc_id),
+       |common AS (
+       |  SELECT a, b, COUNT(*) AS n_common
+       |  FROM cand JOIN csh sa ON a = sa.doc_id
+       |  JOIN csh sb ON b = sb.doc_id AND sa.sh = sb.sh
+       |  GROUP BY a, b)
+       |SELECT a, b, n_agree,
+       |  (1000 * n_agree) // $NSeeds AS est_e3,
+       |  (1000 * COALESCE(n_common, 0)) // (na + nb - COALESCE(n_common, 0)) AS jacc_e3,
+       |  abs((1000 * n_agree) // $NSeeds -
+       |      (1000 * COALESCE(n_common, 0)) // (na + nb - COALESCE(n_common, 0))) AS err_e3
+       |FROM cand
+       |JOIN agree USING (a, b)
+       |LEFT JOIN common USING (a, b)
+       |JOIN (SELECT doc_id AS a, n_sh AS na FROM sizes) USING (a)
+       |JOIN (SELECT doc_id AS b, n_sh AS nb FROM sizes) USING (b)
+       |ORDER BY a, b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d09_minhash_calibration" -> (d09MinhashCalibration _),
     "d01_minhash_signatures" -> (d01MinhashSignatures _),
     "d02_lsh_pairs" -> (d02LshPairs _),
     "d03_simhash" -> (d03Simhash _),
@@ -661,5 +758,6 @@ object Dedup {
     "d04_exact_dup_groups" -> d04Sql,
     "d05_lsh_bucket_stats" -> d05Sql,
     "d06_embedding_neardup" -> d06Sql,
-    "d08_ngram_jaccard" -> d08Sql)
+    "d08_ngram_jaccard" -> d08Sql,
+    "d09_minhash_calibration" -> d09Sql)
 }

@@ -153,4 +153,48 @@ class DedupSpec extends AnyFunSuite {
     assert(expected.exists { case (a, b, j) => a == 1L && b == 3L && j < 1000L })
     assert(!expected.exists { case (a, b, _) => a == 1L && b == 6L })
   }
+
+  /** d09 against a full sequential recompute (MinHash signatures, banding,
+    * bucket guard, slot agreement, exact char-8-gram Jaccard) — pins that
+    * the estimate is counted over ALL slots, the exact side uses CHAR
+    * shingles (the universe the signatures hash), and err_e3 is the abs
+    * difference of the two e3 values.
+    */
+  test("d09 calibration == sequential MinHash vs exact char-shingle Jaccard") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_d09").toString
+    val common = (0 until 40).map(j => s"word$j").mkString(" ")
+    val corpus = Seq(
+      (0L, s"$common ending alpha"),
+      (1L, s"$common ending beta"), // near-dup of 0: long shared prefix
+      (2L, (0 until 40).map(j => s"other$j").mkString(" ")))
+    corpus.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$d/documents.parquet")
+
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def shingles(t: String): Seq[String] =
+      (1 to math.max(t.length - 7, 1)).map(i => t.substring(i - 1, math.min(i + 7, t.length)))
+    def sig(t: String): Seq[String] =
+      (0 until 4).map(k => shingles(t).map(sh => md5hex(s"s$k$sh")).min)
+    val sigs = corpus.map { case (id, t) => id -> sig(t) }.toMap
+    // banding: all buckets here are far below the 50 guard
+    val cand = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      if (0 until 4).exists(k => sa(k) == sb(k))
+    } yield (a, b)).toSeq.sorted
+    assert(cand.nonEmpty) // fixture sanity: the near-dup pair must band together
+    val want = cand.map { case (a, b) =>
+      val nAgree = (0 until 4).count(k => sigs(a)(k) == sigs(b)(k)).toLong
+      val (shA, shB) = (shingles(corpus(a.toInt)._2).toSet, shingles(corpus(b.toInt)._2).toSet)
+      val est = 1000L * nAgree / 4
+      val jac = 1000L * (shA & shB).size / (shA | shB).size
+      (a, b, nAgree, est, jac, math.abs(est - jac))
+    }
+    val got = Dedup.queries("d09_minhash_calibration")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want)
+  }
 }
