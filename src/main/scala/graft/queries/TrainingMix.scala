@@ -328,13 +328,62 @@ object TrainingMix {
        |FROM keyed GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
+  // x06: LEAKAGE-SAFE train/val split. A per-document hash split puts exact
+  // duplicates on both sides of the split — the classic eval-leakage bug (a
+  // val doc whose twin was trained on). The fix: the split coin is thrown on
+  // the DUPLICATE-CLUSTER fingerprint (d04's BoW fp), so a whole cluster
+  // moves together; train gets first-nibble < 13 (~13/16 ≈ 81%). The output
+  // carries the machine-checkable invariant alongside the assignment:
+  // n_splits_in_cluster (distinct splits over the doc's cluster — MUST be 1
+  // everywhere; a per-doc coin would make it 2 for straddling clusters, and
+  // the spec proves exactly that contrast). Plan: one fp groupBy and a
+  // fp-keyed join back — both on the same key, one shuffle each; the coin is
+  // a pure expression, no extra pass.
+  def x06LeakageSafeSplit(s: SparkSession, d: String): DataFrame = {
+    val withFp = Tables.documents(s, d)
+      .selectExpr("doc_id", s"${Dedup.bowFp} AS fp")
+    val clusters = withFp.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("cluster_size"))
+      .selectExpr("fp", "rep", "cluster_size",
+        "CASE WHEN instr('0123456789abcdef', substr(md5(fp), 1, 1)) - 1 < 13 " +
+          "THEN 'train' ELSE 'val' END AS split")
+    // each DOC carries its (cluster-derived) split; re-aggregating per
+    // cluster and counting distinct doc-level splits is what makes the
+    // invariant non-tautological: swap the coin to a per-doc hash and
+    // n_splits_in_cluster reads 2 for mixed clusters (the spec pins that
+    // contrast)
+    withFp.join(clusters, Seq("fp"))
+      .groupBy(col("fp"), col("rep"), col("cluster_size"))
+      .agg(max(col("split")).as("split"),
+        countDistinct(col("split")).as("n_splits_in_cluster"))
+      .selectExpr("rep", "cluster_size", "split", "n_splits_in_cluster")
+      .orderBy(col("rep"))
+  }
+
+  val x06Sql: String =
+    """WITH fps AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+      |  FROM documents),
+      |clusters AS (
+      |  SELECT fp, MIN(doc_id) AS rep, COUNT(*) AS cluster_size,
+      |    CASE WHEN instr('0123456789abcdef', substr(md5(fp), 1, 1)) - 1 < 13
+      |         THEN 'train' ELSE 'val' END AS split
+      |  FROM fps GROUP BY fp)
+      |SELECT rep, cluster_size, MAX(split) AS split,
+      |  CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits_in_cluster
+      |FROM fps JOIN clusters USING (fp)
+      |GROUP BY fp, rep, cluster_size
+      |ORDER BY rep""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_stratified_sample" -> (x01StratifiedSample _),
     "x02_shard_packing" -> (x02ShardPacking _),
     "x03_decontaminate" -> (x03Decontaminate _),
     "x04_temperature_mix" -> (x04TemperatureMix _),
     "d07_incremental_dedup" -> (d07IncrementalDedup _),
-    "x05_zorder_layout" -> (x05ZorderLayout _))
+    "x05_zorder_layout" -> (x05ZorderLayout _),
+    "x06_leakage_safe_split" -> (x06LeakageSafeSplit _))
 
   val oracleSql: Map[String, String] = Map(
     "x01_stratified_sample" -> x01Sql,
@@ -342,5 +391,6 @@ object TrainingMix {
     "x03_decontaminate" -> x03Sql,
     "x04_temperature_mix" -> x04Sql,
     "d07_incremental_dedup" -> d07Sql,
-    "x05_zorder_layout" -> x05Sql)
+    "x05_zorder_layout" -> x05Sql,
+    "x06_leakage_safe_split" -> x06Sql)
 }

@@ -214,4 +214,44 @@ class TrainingMixSpec extends AnyFunSuite {
       .collect().map(_.getLong(1))
     assert(naive.max === 255L)
   }
+
+  /** x06 against a sequential recompute, plus the leakage contrast that
+    * justifies the operator: on this very fixture a PER-DOC coin would
+    * straddle a duplicate cluster across train and val (so the invariant
+    * column is falsifiable, not decorative).
+    */
+  test("x06 cluster-level split == sequential recompute; per-doc coin would leak") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_x06").toString
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def coin(x: String): String =
+      if ("0123456789abcdef".indexOf(md5hex(x).charAt(0)) < 13) "train" else "val"
+    // one 30-member duplicate cluster + unique singles: with 30 members the
+    // probability that a per-doc doc_id coin agrees across the whole cluster
+    // is (13/16)^30 + (3/16)^30 — this fixture's ids do split (asserted)
+    val cluster = (0L until 30L).map(i => (i, "dup dup text shared by all members"))
+    val singles = (100L until 130L).map(i => (i, s"unique text nr $i payload"))
+    val corpus = cluster ++ singles
+    corpus.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$d/documents.parquet")
+
+    def fp(t: String): String =
+      md5hex(t.split(" ").distinct.sorted.mkString(" "))
+    val byFp = corpus.groupBy { case (_, t) => fp(t) }
+    val want = byFp.toSeq.map { case (f, members) =>
+      (members.map(_._1).min, members.size.toLong, coin(f), 1L)
+    }.sortBy(_._1)
+
+    val got = TrainingMix.queries("x06_leakage_safe_split")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == want)
+    assert(got.forall(_._4 == 1L)) // the leakage invariant
+    assert(got.map(_._3).distinct.sorted == Seq("train", "val")) // both splits occur
+    // the contrast: a per-doc coin on the duplicate cluster's doc_ids lands
+    // on BOTH sides — the bug this operator exists to prevent
+    val perDocSplits = cluster.map { case (id, _) => coin(id.toString) }.distinct
+    assert(perDocSplits.size == 2)
+  }
 }
