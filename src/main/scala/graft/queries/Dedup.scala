@@ -128,6 +128,46 @@ object Dedup {
       Prologue(groups, groupPairs, sigs)
     }
 
+  /** Mega-bucket guard threshold (a bucket holding more members than this is
+    * useless for banding and would go quadratic in the candidate self-join).
+    * The ONE definition consumed by d02 (candidate bounding), d05 (the
+    * dropped-volume observability metric) and d09 (calibration must measure
+    * the same candidate population d02 emits) — Scala and generated SQL.
+    */
+  private[queries] val BucketGuard = 50
+
+  /** Rep-level LSH candidate pairs (a < b) from the guard-bounded banding —
+    * the single definition of "d02's candidate population", shared with d09.
+    */
+  private def boundedBandPairs(sigs: DataFrame): DataFrame = {
+    val bucketSizes = sigs.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= BucketGuard)
+      .select(col("band"), col("sig"))
+    val bounded = sigs.join(bucketSizes, Seq("band", "sig"), "left_semi")
+    bounded.as("x").join(bounded.as("y"),
+      col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+  }
+
+  /** (a, b, n_common, na, nb): distinct-item overlap of candidate pairs over
+    * a (doc_id, sh) item frame — the shared exact-verification join of d02
+    * (word 3-grams) and d09 (char 8-gram shingles). `sh` must cover every
+    * doc in `cand` and be checkpointed by the caller (multiple consumers).
+    */
+  private def pairOverlap(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = cand
+      .join(sh.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_common"))
+    cand.join(common, Seq("a", "b"), "left")
+      .na.fill(0L, Seq("n_common"))
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), Seq("a"))
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), Seq("b"))
+  }
+
   /** Drop the cached LSH prologue blocks (bench/verify hygiene). */
   def release(): Unit = {
     prologueCache.foreachValue { p =>
@@ -141,25 +181,14 @@ object Dedup {
     val docs = Tables.documents(s, d)
       .filter(size(split(col("text"), " ")) >= 3)
     val pro = prologue(s, d)
-    val sigs = pro.sigs
-    // Mega-bucket guard (standard at scale: a bucket holding most of the
-    // corpus generates O(n²) candidates and means the band is useless).
-    // Dropped volume is reported by d05_lsh_bucket_stats.
-    val bucketSizes = sigs.groupBy(col("band"), col("sig"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= 50)
-      .select(col("band"), col("sig"))
-    val bounded = sigs.join(bucketSizes, Seq("band", "sig"), "left_semi")
-    // cand and sh each feed two joins below — eagerly checkpoint so the
-    // self-join / verification join read blocks, not recompute lineage
-    // (blocks are GC-cleaned with the frames once the query's consumers
-    // finish). cand is O(candidate pairs); sh is restricted to docs that
-    // appear in a candidate pair BEFORE the shingle explode, so it is
-    // O(candidate docs' shingles), not O(corpus)
-    val cand = bounded.as("x").join(bounded.as("y"),
-        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    // cand and sh each feed multiple joins below — eagerly checkpoint so the
+    // verification joins read blocks, not recompute lineage (blocks are
+    // GC-cleaned with the frames once the query's consumers finish). cand is
+    // O(candidate pairs); sh is restricted to docs that appear in a
+    // candidate pair BEFORE the shingle explode, so it is O(candidate docs'
+    // shingles), not O(corpus). Dropped mega-bucket volume is reported by
+    // d05_lsh_bucket_stats.
+    val cand = boundedBandPairs(pro.sigs)
       .unionByName(pro.groupPairs) // exact/BoW members ↔ canonical rep
       .distinct()
       .localCheckpoint(true)
@@ -169,16 +198,7 @@ object Dedup {
       .selectExpr("doc_id", "split(text, ' ') AS toks")
       .selectExpr("doc_id", s"explode(array_distinct($shingle3)) AS sh")
       .localCheckpoint(true)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val common = cand
-      .join(sh.as("sa"), col("a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_common"))
-    cand
-      .join(common, Seq("a", "b"), "left")
-      .na.fill(0L, Seq("n_common"))
-      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), Seq("a"))
-      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), Seq("b"))
+    pairOverlap(cand, sh)
       .selectExpr("a", "b",
         "(1000 * n_common) DIV (na + nb - n_common) AS jaccard_e3")
       .orderBy(col("jaccard_e3").desc, col("a"), col("b"))
@@ -212,7 +232,7 @@ object Dedup {
        |grp_pairs AS (
        |  SELECT rep AS a, unnest(members) AS b FROM grps),
        |keep AS (
-       |  SELECT band, sig FROM bands0 GROUP BY band, sig HAVING COUNT(*) <= 50),
+       |  SELECT band, sig FROM bands0 GROUP BY band, sig HAVING COUNT(*) <= $BucketGuard),
        |bands AS (SELECT bands0.* FROM bands0 JOIN keep USING (band, sig)),
        |cand AS (
        |  SELECT DISTINCT a, b FROM (
@@ -248,8 +268,8 @@ object Dedup {
       .groupBy(col("band"), col("sig")).agg(count(lit(1)).as("bsz"))
       .groupBy(col("band")).agg(
         count(lit(1)).as("n_buckets"),
-        sum(when(col("bsz") > 50, 1L).otherwise(0L)).as("n_mega_buckets"),
-        sum(when(col("bsz") > 50, col("bsz")).otherwise(0L)).as("n_docs_dropped"))
+        sum(when(col("bsz") > BucketGuard, 1L).otherwise(0L)).as("n_mega_buckets"),
+        sum(when(col("bsz") > BucketGuard, col("bsz")).otherwise(0L)).as("n_docs_dropped"))
       .orderBy(col("band"))
   }
 
@@ -259,8 +279,8 @@ object Dedup {
        |  SELECT band, sig, COUNT(*) AS bsz FROM bands0 GROUP BY band, sig)
        |SELECT band,
        |  COUNT(*) AS n_buckets,
-       |  CAST(SUM(CASE WHEN bsz > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_mega_buckets,
-       |  CAST(SUM(CASE WHEN bsz > 50 THEN bsz ELSE 0 END) AS BIGINT) AS n_docs_dropped
+       |  CAST(SUM(CASE WHEN bsz > $BucketGuard THEN 1 ELSE 0 END) AS BIGINT) AS n_mega_buckets,
+       |  CAST(SUM(CASE WHEN bsz > $BucketGuard THEN bsz ELSE 0 END) AS BIGINT) AS n_docs_dropped
        |FROM buckets GROUP BY band ORDER BY band""".stripMargin
 
   // ---- d06: embedding-cosine near-dup -------------------------------------
@@ -663,15 +683,7 @@ object Dedup {
       .filter(size(split(col("text"), " ")) >= 3)
     val pro = prologue(s, d)
     val sigs = pro.sigs
-    val bucketSizes = sigs.groupBy(col("band"), col("sig"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= 50)
-      .select(col("band"), col("sig"))
-    val bounded = sigs.join(bucketSizes, Seq("band", "sig"), "left_semi")
-    val cand = bounded.as("x").join(bounded.as("y"),
-        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    val cand = boundedBandPairs(sigs).distinct()
       .localCheckpoint(true) // feeds agree, candDocs and the final join
     val agree = cand.join(sigs.as("sa"), col("a") === col("sa.doc_id"))
       .join(sigs.as("sb"), col("b") === col("sb.doc_id") &&
@@ -684,17 +696,8 @@ object Dedup {
         "explode(array_distinct(transform(sequence(1, greatest(length(text) - 7, 1)), " +
           "i -> substr(text, i, 8)))) AS sh")
       .localCheckpoint(true) // read by sizes and both sides of common
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val common = cand
-      .join(sh.as("sa"), col("a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_common"))
-    cand
+    pairOverlap(cand, sh)
       .join(agree, Seq("a", "b"))
-      .join(common, Seq("a", "b"), "left")
-      .na.fill(0L, Seq("n_common"))
-      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), Seq("a"))
-      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), Seq("b"))
       .selectExpr("a", "b", "n_agree",
         s"(1000 * n_agree) DIV $NSeeds AS est_e3",
         "(1000 * n_common) DIV (na + nb - n_common) AS jacc_e3")
@@ -706,7 +709,7 @@ object Dedup {
   val d09Sql: String =
     s"""$lshPrologueSql,
        |keep AS (
-       |  SELECT band, sig FROM bands0 GROUP BY band, sig HAVING COUNT(*) <= 50),
+       |  SELECT band, sig FROM bands0 GROUP BY band, sig HAVING COUNT(*) <= $BucketGuard),
        |bands AS (SELECT bands0.* FROM bands0 JOIN keep USING (band, sig)),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b

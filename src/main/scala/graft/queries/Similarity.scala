@@ -258,18 +258,24 @@ object Similarity {
   private val KClusters = 8
   private val quantExpr =
     "transform(%s, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
-  private val distExpr =
-    s"aggregate(zip_with(${quantExpr.format("ve")}, ${quantExpr.format("ke")}, " +
-      "(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
 
   def s04KmeansAssign(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
+    // quantize ONCE PER VECTOR, before the crossJoin: the centroid side is
+    // materialized by the broadcast (8 quantizations total), and the scan
+    // side's `vq` is referenced twice below (dist + q0) so CollapseProject
+    // keeps the projection — inlining quantExpr into the pair row would
+    // re-quantize both 64-element arrays per (vector, centroid) pair
+    // (lambda-CSE lesson, see d02's toks comment)
     val cents = emb.filter(col("vec_id") < KClusters)
-      .select(col("vec_id").as("cid"), col("embedding").as("ke"))
-    val pairs = emb.select(col("vec_id"), col("embedding").as("ve"))
+      .selectExpr("vec_id AS cid", s"${quantExpr.format("embedding")} AS kq")
+    val pairs = emb
+      .selectExpr("vec_id", s"${quantExpr.format("embedding")} AS vq")
       .crossJoin(broadcast(cents))
-      .selectExpr("vec_id", "cid", s"$distExpr AS dist",
-        s"element_at(${quantExpr.format("ve")}, 1) AS q0")
+      .selectExpr("vec_id", "cid",
+        "aggregate(zip_with(vq, kq, (x, y) -> (x - y) * (x - y)), " +
+          "CAST(0 AS BIGINT), (acc, v) -> acc + v) AS dist",
+        "element_at(vq, 1) AS q0")
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("dist"), col("cid"))
     val assigned = pairs.withColumn("rk", row_number().over(w))
