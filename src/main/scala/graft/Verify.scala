@@ -47,7 +47,11 @@ object Verify {
     // kg oracle inputs: the pipeline's intermediate tables, dumped AFTER the
     // queries so the shared caches are warm (KgOracles scaladoc has the why)
     val auxDir = new java.io.File(s"$outDir/_oracle_aux").getAbsolutePath
-    if (SparkEntry.queries.keys.exists(n => n.startsWith("kg") && selected(n)))
+    // any SELECTED oracle that reads the aux dump ({AUX} placeholder) —
+    // kg* and the corpus-shaped m05/m06 — must trigger it; keying on the
+    // kg prefix alone broke narrowed m-query runs
+    if (SparkEntry.oracleSql.exists { case (n, sql) =>
+        selected(n) && sql.contains("{AUX}") })
       try KgOracles.dumpAux(spark, sfDir, auxDir)
       catch { case e: Throwable =>
         System.err.println(s"[verify] oracle aux dump failed: ${e.getMessage}")

@@ -217,7 +217,45 @@ object Multimodal {
       |LEFT JOIN c ON b.doc_id = c.doc_id AND b.ctx_pos = c.pos
       |ORDER BY m.doc_id, m.pos""".stripMargin
 
+  /** m06: cross-document media/link-asset dedup — for every span that
+    * carries a media_ref (media, wikilink, extlink), how many documents and
+    * occurrences reuse the same ref, with the canonical owner (min doc_id).
+    * The asset-dedup primitive of an interleaved corpus at 100 TB: repeated
+    * images/anchors are fetched, decoded and stored ONCE, keyed exactly by
+    * this table (the same shape content-hash dedup takes when bytes are
+    * available — the ref plays the hash's role here). Plan: one corpus scan,
+    * one explode, one (kind, ref)-keyed aggregate — countDistinct folds
+    * map-side via partial HLL-free two-phase agg; no joins.
+    */
+  def m06MediaDedup(s: SparkSession, d: String): DataFrame = {
+    val corpus = graft.kg.CorpusStore.scan(s, graft.kg.Synth.paramsFor(d))
+    corpus.selectExpr("doc_id", "explode(spans) AS sp")
+      .filter(col("sp.media_ref").isNotNull)
+      .selectExpr("doc_id", "sp.kind AS kind", "sp.media_ref AS media_ref")
+      .groupBy(col("kind"), col("media_ref"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("rep_doc_id"))
+      .orderBy(col("kind"), col("media_ref"))
+  }
+
+  val m06Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, spans FROM read_parquet('{AUX}/kg_corpus/*.parquet')),
+      |series AS (SELECT i FROM generate_series(1, 4096) t(i)),
+      |sp AS (
+      |  SELECT doc_id, spans[i].kind AS kind, spans[i].media_ref AS media_ref
+      |  FROM corpus JOIN series ON i <= len(spans))
+      |SELECT kind, media_ref,
+      |  COUNT(DISTINCT doc_id) AS n_docs,
+      |  COUNT(*) AS n_occurrences,
+      |  MIN(doc_id) AS rep_doc_id
+      |FROM sp WHERE media_ref IS NOT NULL
+      |GROUP BY kind, media_ref
+      |ORDER BY kind, media_ref""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m06_media_dedup" -> (m06MediaDedup _),
     "m01_media_inventory" -> (m01MediaInventory _),
     "m02_frame_sample" -> (m02FrameSample _),
     "m03_feature_extract" -> (m03FeatureExtract _),
@@ -229,5 +267,6 @@ object Multimodal {
     "m02_frame_sample" -> m02Sql,
     "m03_feature_extract" -> m03Sql,
     "m04_resize_plan" -> m04Sql,
-    "m05_span_context_align" -> m05Sql)
+    "m05_span_context_align" -> m05Sql,
+    "m06_media_dedup" -> m06Sql)
 }

@@ -347,4 +347,24 @@ class KgQueriesSpec extends AnyFunSuite {
     assert(expected.map(_._3).toSet == inline)
     assert(expected.flatMap(_._6).toSet == ctxKinds)
   }
+
+  test("m06 media dedup matches a sequential ref aggregation; reuse is real") {
+    val days = Synth.allDaysOf(p).map { case (y, m, d) =>
+      SpanCodec.dayDoc(p, Synth.day(p, m, d, y))
+    }
+    val arts = (0 until p.articles).map(i => SpanCodec.articleDoc(p, Synth.article(p, i)))
+    val refs = (days ++ arts).flatMap { doc =>
+      doc.spans.filter(_.media_ref != null)
+        .map(s => (s.kind, s.media_ref, doc.doc_id))
+    }
+    val expected = refs.groupBy(r => (r._1, r._2)).map { case ((k, ref), xs) =>
+      (k, ref, xs.map(_._3).distinct.size.toLong, xs.size.toLong, xs.map(_._3).min)
+    }.toSeq.sortBy(r => (r._1, r._2))
+    val got = graft.multimodal.Multimodal.queries("m06_media_dedup")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSeq
+    assert(got == expected)
+    // the operator is only meaningful if assets actually recur across docs
+    assert(expected.exists(_._3 >= 2))
+  }
 }
