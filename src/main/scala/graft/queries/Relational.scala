@@ -473,7 +473,65 @@ object Relational {
       |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  // q20: FUNNEL (ordered-sequence) matching — per user, the deepest stage of
+  // view → click → purchase completed with the whole chain inside one hour
+  // of the view. The naive formulation is a per-user triple self-join
+  // (O(events³) on an active user — a skew bomb); this plan instead CHAINS
+  // TWO of q19's time-range windows: pass 1 carries each row's earliest view
+  // in the trailing hour, pass 2 carries the best (latest-view) click seen
+  // in the trailing hour, and a purchase completes the funnel iff that
+  // carried view is within its own trailing hour. Two window exchanges on
+  // user_id, zero joins — the standard sequence-match-as-prefix-scan shape.
+  // Stage flags are monotone by construction (s3 ⇒ s2 ⇒ s1), so depth is
+  // their sum. Simultaneous timestamps count (RANGE frames include peers) —
+  // in both engines identically.
+  def q20Funnel(s: SparkSession, d: String): DataFrame = {
+    val w = "(PARTITION BY user_id ORDER BY ts " +
+      "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+    Tables.events(s, d)
+      .selectExpr("user_id", "ts", "event_type")
+      .selectExpr("user_id", "ts", "event_type",
+        s"MIN(CASE WHEN event_type = 'view' THEN ts END) OVER $w AS earliest_view")
+      .selectExpr("user_id", "ts", "event_type", "earliest_view",
+        s"MAX(CASE WHEN event_type = 'click' THEN earliest_view END) OVER $w " +
+          "AS best_view_via_click")
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("event_type") === "view", 1).otherwise(0)).as("s1"),
+        max(when(col("event_type") === "click" && col("earliest_view").isNotNull,
+          1).otherwise(0)).as("s2"),
+        max(when(col("event_type") === "purchase" &&
+          col("best_view_via_click") >= col("ts") - expr("INTERVAL 1 HOUR"),
+          1).otherwise(0)).as("s3"))
+      .selectExpr("user_id", "CAST(s1 + s2 + s3 AS INT) AS funnel_depth")
+      .orderBy(col("user_id"))
+  }
+
+  val q20Sql: String =
+    """WITH v1 AS (
+      |  SELECT user_id, ts, event_type,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts END) OVER w AS earliest_view
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+      |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)),
+      |v2 AS (
+      |  SELECT user_id, ts, event_type, earliest_view,
+      |    MAX(CASE WHEN event_type = 'click' THEN earliest_view END) OVER w
+      |      AS best_view_via_click
+      |  FROM v1
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+      |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW))
+      |SELECT user_id,
+      |  CAST(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |     + MAX(CASE WHEN event_type = 'click' AND earliest_view IS NOT NULL
+      |            THEN 1 ELSE 0 END)
+      |     + MAX(CASE WHEN event_type = 'purchase'
+      |                 AND best_view_via_click >= ts - INTERVAL 1 HOUR
+      |            THEN 1 ELSE 0 END) AS INT) AS funnel_depth
+      |FROM v2 GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_funnel" -> (q20Funnel _),
     "q19_sliding_window" -> (q19SlidingWindow _),
     "q18_pivot" -> (q18Pivot _),
     "q17_interval_join" -> (q17IntervalJoin _),
@@ -513,5 +571,6 @@ object Relational {
     "q16_quantiles_rank_select" -> q16Sql,
     "q17_interval_join" -> q17Sql,
     "q18_pivot" -> q18Sql,
-    "q19_sliding_window" -> q19Sql)
+    "q19_sliding_window" -> q19Sql,
+    "q20_funnel" -> q20Sql)
 }

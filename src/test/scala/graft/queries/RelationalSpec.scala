@@ -157,4 +157,39 @@ class RelationalSpec extends AnyFunSuite {
       (3L, 1L, 3L, 14000000L), // RANGE: identical frame as its ts peer
       (4L, 2L, 1L, 16000000L)))
   }
+
+  /** q20 funnel semantics pinned by hand — each stage's time bound, the
+    * whole-chain-within-1h-of-the-view rule (not merely pairwise 1 h gaps),
+    * the inclusive boundary, and that order matters (a purchase BEFORE the
+    * view never completes the funnel).
+    */
+  test("q20 funnel depths match hand-computed goldens") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_q20").toString
+    def ts(s: String) = Timestamp.valueOf(s)
+    val rows = Seq(
+      // user 1: clean 50-minute chain -> 3
+      (1L, "view", "10:00:00"), (1L, "click", "10:20:00"), (1L, "purchase", "10:50:00"),
+      // user 2: pairwise gaps < 1 h but chain spans 70 min... actually the
+      // click falls out of the purchase's trailing hour -> 2
+      (2L, "view", "10:00:00"), (2L, "click", "10:20:00"), (2L, "purchase", "11:30:00"),
+      // user 3: click+purchase inside the hour but the VIEW is older than
+      // the purchase's trailing hour -> 2 (the whole-chain rule)
+      (3L, "view", "10:00:00"), (3L, "click", "10:50:00"), (3L, "purchase", "11:10:00"),
+      // user 4: no view at all -> 0
+      (4L, "click", "10:00:00"), (4L, "purchase", "10:30:00"),
+      // user 5: views only -> 1
+      (5L, "view", "10:00:00"), (5L, "view", "11:00:00"),
+      // user 6: chain spanning EXACTLY one hour view->purchase -> 3 (inclusive)
+      (6L, "view", "10:00:00"), (6L, "click", "10:30:00"), (6L, "purchase", "11:00:00"),
+      // user 7: purchase precedes the view -> 2 (view->click only)
+      (7L, "purchase", "09:00:00"), (7L, "view", "10:00:00"), (7L, "click", "10:10:00"))
+    rows.zipWithIndex.map { case ((u, t, hms), i) =>
+      (i.toLong, ts(s"2024-01-01 $hms"), u, t, 0.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Relational.queries("q20_funnel")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == Seq((1L, 3), (2L, 2), (3L, 2), (4L, 0), (5L, 1), (6L, 3), (7L, 2)))
+  }
 }
