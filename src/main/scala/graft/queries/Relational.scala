@@ -530,7 +530,48 @@ object Relational {
       |            THEN 1 ELSE 0 END) AS INT) AS funnel_depth
       |FROM v2 GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // q21: UNPIVOT (melt) — the inverse reshaping of q18: a wide per-flag
+  // measure frame melts to (key, metric, value) long form. Uses Spark's
+  // native unpivot operator (an Expand node: each input row emits one row
+  // per measure in a single pass — no union-of-selects re-scan); the oracle
+  // reshapes through the portable UNION ALL identity instead, so the
+  // semantics are recomputed by a different mechanism. Measures go through
+  // DECIMAL sums (q01's rule) and share one DOUBLE value column.
+  private val UnpivotMeasures = Seq("sum_qty", "sum_price", "sum_disc", "sum_tax")
+
+  def q21Unpivot(s: SparkSession, d: String): DataFrame = {
+    val wide = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sumDec(col("l_quantity")).as("sum_qty"),
+        sumDec(col("l_extendedprice")).as("sum_price"),
+        sumDec(col("l_discount")).as("sum_disc"),
+        sumDec(col("l_tax")).as("sum_tax"))
+    wide.unpivot(
+        Array(col("l_returnflag")),
+        UnpivotMeasures.map(col).toArray,
+        "metric", "value")
+      .orderBy(col("l_returnflag"), col("metric"))
+  }
+
+  val q21Sql: String = {
+    def m(c: String, src: String) =
+      s"CAST(SUM(CAST($src AS DECIMAL(18,2))) AS DOUBLE) AS $c"
+    val melts = UnpivotMeasures.map(c =>
+      s"SELECT l_returnflag, '$c' AS metric, $c AS value FROM wide")
+    s"""WITH wide AS (
+       |  SELECT l_returnflag,
+       |    ${m("sum_qty", "l_quantity")},
+       |    ${m("sum_price", "l_extendedprice")},
+       |    ${m("sum_disc", "l_discount")},
+       |    ${m("sum_tax", "l_tax")}
+       |  FROM lineitem GROUP BY l_returnflag)
+       |${melts.mkString("\nUNION ALL\n")}
+       |ORDER BY l_returnflag, metric""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_unpivot" -> (q21Unpivot _),
     "q20_funnel" -> (q20Funnel _),
     "q19_sliding_window" -> (q19SlidingWindow _),
     "q18_pivot" -> (q18Pivot _),
@@ -572,5 +613,6 @@ object Relational {
     "q17_interval_join" -> q17Sql,
     "q18_pivot" -> q18Sql,
     "q19_sliding_window" -> q19Sql,
-    "q20_funnel" -> q20Sql)
+    "q20_funnel" -> q20Sql,
+    "q21_unpivot" -> q21Sql)
 }

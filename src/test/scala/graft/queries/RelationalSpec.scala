@@ -192,4 +192,25 @@ class RelationalSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1))).toSeq
     assert(got == Seq((1L, 3), (2L, 2), (3L, 2), (4L, 0), (5L, 1), (6L, 3), (7L, 2)))
   }
+
+  /** q21 melt semantics pinned by hand: every (flag, metric) cell of the
+    * wide frame lands as exactly one long row, metric names come from the
+    * column list, and row order is (flag, metric).
+    */
+  test("q21 unpivot matches hand-computed goldens") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_q21").toString
+    Seq(
+      ("A", 2.0, 10.0, 0.1, 0.2), ("A", 3.0, 20.0, 0.2, 0.3),
+      ("B", 5.0, 50.0, 0.0, 0.1))
+      .toDF("l_returnflag", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val got = Relational.queries("q21_unpivot")(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == Seq(
+      ("A", "sum_disc", 0.3), ("A", "sum_price", 30.0),
+      ("A", "sum_qty", 5.0), ("A", "sum_tax", 0.5),
+      ("B", "sum_disc", 0.0), ("B", "sum_price", 50.0),
+      ("B", "sum_qty", 5.0), ("B", "sum_tax", 0.1)))
+  }
 }
