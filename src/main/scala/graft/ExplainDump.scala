@@ -47,6 +47,8 @@ object ExplainDump {
     "st05_stream_stream_join", // interval join shape (batch twin of the stream)
     "q17_interval_join",    // keyless range join via bin-bucketed equi-join
     "q18_pivot",            // explicit-domain pivot: ONE aggregate, no domain job
+    "q20_funnel",           // two chained range-windows, zero joins
+    "m06_media_dedup",      // corpus explode + one aggregate
     "s04_kmeans_assign",    // broadcast centroids + single scan argmin
     "t07_ngram_novelty",    // inverted-index df join-back
     "sk01_hll_distinct",    // sketch state: map-side-combinable register MAX
