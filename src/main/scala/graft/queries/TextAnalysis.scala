@@ -255,7 +255,61 @@ object TextAnalysis {
       |FROM documents d LEFT JOIN agg USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // t08: unigram SURPRISAL scoring — an LM-free rarity/quality signal in
+  // EXACT integer arithmetic. True unigram cross-entropy needs log()
+  // (float, not hash-portable); the integer proxy uses floor-log2 via
+  // length(bin(x)) — identical in Spark and DuckDB (sk01's trick):
+  // surprisal(tok) = bitlen(N_total) - bitlen(count(tok)), summed over a
+  // doc's token INSTANCES. Rare-token-heavy docs score high; boilerplate
+  // scores low — the ranking signal a quality filter thresholds on. Plan:
+  // the t07 inverted-index shape (explode once, count per token, join the
+  // counts back onto the same rows — no fan-out) plus a one-row broadcast
+  // of the corpus total; per-doc agg folds map-side.
+  def t08UnigramSurprisal(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs.selectExpr("doc_id", "explode(split(text, ' ')) AS tok")
+      .filter(col("tok") =!= "")
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).cast("long").as("n_total"))
+    val perDoc = toks.join(counts, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .selectExpr("doc_id",
+        "CAST(length(bin(n_total)) - length(bin(cnt)) AS BIGINT) AS surp")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("surp")).cast("long").as("surprisal_sum"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_tokens", "surprisal_sum"))
+      .selectExpr("doc_id", "n_tokens", "surprisal_sum",
+        "CASE WHEN n_tokens = 0 THEN 0L " +
+          "ELSE (1000 * surprisal_sum) DIV n_tokens END AS mean_surprisal_e3")
+      .orderBy(col("doc_id"))
+  }
+
+  val t08Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tok2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+      |counts AS (SELECT tok, COUNT(*) AS cnt FROM tok2 GROUP BY tok),
+      |total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM counts),
+      |per AS (
+      |  SELECT doc_id, COUNT(*) AS n_tokens,
+      |    CAST(SUM(length(bin(n_total)) - length(bin(cnt))) AS BIGINT)
+      |      AS surprisal_sum
+      |  FROM tok2 JOIN counts USING (tok) CROSS JOIN total
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(n_tokens, 0) AS n_tokens,
+      |  CAST(COALESCE(surprisal_sum, 0) AS BIGINT) AS surprisal_sum,
+      |  CASE WHEN COALESCE(n_tokens, 0) = 0 THEN 0
+      |       ELSE (1000 * COALESCE(surprisal_sum, 0)) // n_tokens
+      |  END AS mean_surprisal_e3
+      |FROM documents d LEFT JOIN per USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t08_unigram_surprisal" -> (t08UnigramSurprisal _),
     "t07_ngram_novelty" -> (t07NgramNovelty _),
     "t01_token_stats" -> (t01TokenStats _),
     "t02_quality_score" -> (t02QualityScore _),
@@ -271,5 +325,6 @@ object TextAnalysis {
     "t04_fingerprint" -> t04Sql,
     "t05_bpe_tokens" -> t05Sql,
     "t06_repetition" -> t06Sql,
-    "t07_ngram_novelty" -> t07Sql)
+    "t07_ngram_novelty" -> t07Sql,
+    "t08_unigram_surprisal" -> t08Sql)
 }

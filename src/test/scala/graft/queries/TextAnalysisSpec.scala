@@ -63,4 +63,27 @@ class TextAnalysisSpec extends AnyFunSuite {
       (3L, 2L, 0L, 1.0))
     assert(got == want)
   }
+
+  /** t08 against hand-computed integer surprisal — pins the floor-log2
+    * bitlength proxy (bitlen(N) - bitlen(cnt)), instance (not type)
+    * summation, and that rarer tokens score strictly higher here.
+    */
+  test("t08 unigram surprisal matches hand-computed goldens") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_t08").toString
+    // corpus: 'a' x12, 'b' x3, 'c' x1 -> N=16 (bitlen 5)
+    // surprisal: a -> 5-4=1, b -> 5-2=3, c -> 5-1=4
+    Seq(
+      (0L, "a a a a a a a a a a"), // 10 a's: sum 10, mean 1.000
+      (1L, "a a b b b"),           // 2+9=11, mean 11/5 -> 2200
+      (2L, "c"))                   // 4, mean 4000
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.queries("t08_unigram_surprisal")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (0L, 10L, 10L, 1000L),
+      (1L, 5L, 11L, 2200L),
+      (2L, 1L, 4L, 4000L)))
+  }
 }
