@@ -344,7 +344,38 @@ object KgOracles {
        |FROM sp GROUP BY kind ORDER BY kind""".stripMargin
   }
 
+  // kg15: kg11's association chain (no company filter) projected to
+  // entity-entity co-occurrence edges; the <= Kg15MaxEntities guard is part
+  // of the definition and recomputed here.
+  val kg15Sql: String =
+    s"""WITH e AS (SELECT DISTINCT subj, pred, obj FROM ${t("kg_triples")}
+       |  WHERE pred IN ('$identifiedBy', '$subString', '$gnWP', '${Ns.owlSameAs}')),
+       |evctx AS (SELECT subj AS event, obj AS ctx FROM e
+       |          WHERE pred = '$identifiedBy' AND starts_with(subj, '${Ns.events}')),
+       |ctxsent AS (SELECT subj AS ctx, obj AS sent FROM e
+       |            WHERE pred = '$subString' AND starts_with(obj, '${Ns.sentences}')),
+       |sentphrase AS (SELECT subj AS sent, obj AS phrase FROM e
+       |               WHERE pred = '$subString' AND starts_with(obj, '${Ns.phrases}')),
+       |phraseart AS (SELECT subj AS phrase, obj AS article FROM e
+       |              WHERE pred = '$gnWP' AND starts_with(subj, '${Ns.phrases}')),
+       |sameas AS (SELECT subj AS article, obj AS wd FROM e
+       |           WHERE pred = '${Ns.owlSameAs}' AND starts_with(subj, '${Ns.wikipediaArticle}')),
+       |ew AS (
+       |  SELECT DISTINCT ec.event, sa.wd
+       |  FROM evctx ec JOIN ctxsent cs ON ec.ctx = cs.ctx
+       |    JOIN sentphrase sp ON cs.sent = sp.sent
+       |    JOIN phraseart pa ON sp.phrase = pa.phrase
+       |    JOIN sameas sa ON pa.article = sa.article),
+       |ok AS (
+       |  SELECT ew.* FROM ew JOIN (
+       |    SELECT event FROM ew GROUP BY event
+       |    HAVING COUNT(*) <= ${KgPipeline.Kg15MaxEntities}) k USING (event))
+       |SELECT x.wd AS wd_a, y.wd AS wd_b, COUNT(*) AS n_events
+       |FROM ok x JOIN ok y ON x.event = y.event AND x.wd < y.wd
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "kg15_entity_cooccurrence" -> kg15Sql,
     "kg01_module_counts" -> kg01Sql,
     "kg02_events_per_year" -> kg02Sql,
     "kg03_topics_per_year" -> kg03Sql,

@@ -500,7 +500,52 @@ object KgPipeline {
       .orderBy(col("kind"))
   }
 
+  /** kg15: entity CO-OCCURRENCE projection — the bipartite (event, entity)
+    * association (kg11's link chain, minus its company filter) projected to
+    * weighted entity-entity edges: (wd_a < wd_b, n_events sharing both).
+    * The standard KG-analytics projection, with the standard skew hazard: an
+    * event mentioning k entities emits k·(k-1)/2 pairs, so a mega-event
+    * would go quadratic in the self-join. Events with more than
+    * [[Kg15MaxEntities]] entities are excluded by BOTH engines (the same
+    * bounded-population rule as d02's mega-bucket guard — deterministic and
+    * oracle-visible, not a silent engine-side cap).
+    */
+  val Kg15MaxEntities = 64
+
+  def kg15EntityCooccurrence(s: SparkSession, d: String): DataFrame = {
+    val t = edges(s, d)
+    def p(pred: String) = t.filter(col("pred") === edgePred(pred))
+      .select(col("subj"), col("obj"))
+    val evCtx = p(Ns.COY + "isIdentifiedBy")
+      .filter(col("subj").startsWith(Ns.events))
+      .select(col("subj").as("event"), col("obj").as("ctx"))
+    val ctxSent = p(Ns.NIF + "subString").select(col("subj").as("ctx"), col("obj").as("sent"))
+      .filter(col("sent").startsWith(Ns.sentences))
+    val sentPhrase = p(Ns.NIF + "subString").select(col("subj").as("sent"), col("obj").as("phrase"))
+      .filter(col("phrase").startsWith(Ns.phrases))
+    val phraseArt = p(Ns.GN + "wikipediaArticle")
+      .filter(col("subj").startsWith(Ns.phrases))
+      .select(col("subj").as("phrase"), col("obj").as("article"))
+    val sameAs = p(Ns.owlSameAs)
+      .filter(col("subj").startsWith(Ns.wikipediaArticle))
+      .select(col("subj").as("article"), col("obj").as("wd"))
+    val eventWd = evCtx.join(ctxSent, "ctx").join(sentPhrase, "sent")
+      .join(phraseArt, "phrase").join(sameAs, "article")
+      .select(col("event"), col("wd")).distinct()
+      .localCheckpoint(true) // feeds the size guard and both self-join sides
+    val ok = eventWd.join(
+      eventWd.groupBy(col("event")).agg(count(lit(1)).as("k"))
+        .filter(col("k") <= Kg15MaxEntities).select(col("event")),
+      Seq("event"), "left_semi")
+    ok.as("x").join(ok.as("y"),
+        col("x.event") === col("y.event") && col("x.wd") < col("y.wd"))
+      .select(col("x.wd").as("wd_a"), col("y.wd").as("wd_b"))
+      .groupBy(col("wd_a"), col("wd_b")).agg(count(lit(1)).as("n_events"))
+      .orderBy(col("wd_a"), col("wd_b"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kg15_entity_cooccurrence" -> (kg15EntityCooccurrence _),
     "kg01_module_counts" -> (kg01ModuleCounts _),
     "kg02_events_per_year" -> (kg02EventsPerYear _),
     "kg03_topics_per_year" -> (kg03TopicsPerYear _),

@@ -56,6 +56,31 @@ class KgQueriesSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("kg15 co-occurrence matches the sequential bipartite projection") {
+    val es = edgeSet
+    def objsOf(subj: String, pred: String): Set[String] =
+      es.collect { case (s, pr, o) if s == subj && pr == pred => o }
+    val eventWd = (for {
+      (ev, pr, ctx) <- es if pr == Ns.COY + "isIdentifiedBy" && ev.startsWith(Ns.events)
+      sent <- objsOf(ctx, Ns.NIF + "subString") if sent.startsWith(Ns.sentences)
+      phrase <- objsOf(sent, Ns.NIF + "subString") if phrase.startsWith(Ns.phrases)
+      art <- objsOf(phrase, Ns.GN + "wikipediaArticle")
+      wd <- objsOf(art, Ns.owlSameAs) if art.startsWith(Ns.wikipediaArticle)
+    } yield (ev, wd)).toSet
+    val byEvent = eventWd.groupBy(_._1).filter(_._2.size <= KgPipeline.Kg15MaxEntities)
+    val expected = byEvent.values.flatMap { ws =>
+      val sorted = ws.map(_._2).toSeq.sorted
+      for (i <- sorted.indices; j <- i + 1 until sorted.length)
+        yield (sorted(i), sorted(j))
+    }.groupBy(identity).map { case ((a, b), xs) => (a, b, xs.size.toLong) }
+      .toSeq.sortBy(p => (p._1, p._2))
+    val got = KgPipeline.kg15EntityCooccurrence(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    assert(expected.nonEmpty) // the fixture really co-mentions entities
+    assert(expected.exists(_._3 >= 2)) // some pair recurs across events
+  }
+
   test("kg06 labels follow the reference UNION (article schema:name vs rdfs:label)") {
     val es = edgeSet
     val rows = KgPipeline.kg06TopicGraph(spark, sfDir).collect()
