@@ -477,7 +477,7 @@ object Relational {
   // view → click → purchase completed with the whole chain inside one hour
   // of the view. The naive formulation is a per-user triple self-join
   // (O(events³) on an active user — a skew bomb); this plan instead CHAINS
-  // TWO of q19's time-range windows: pass 1 carries each row's earliest view
+  // TWO of q19's time-range windows: pass 1 carries each row's latest view
   // in the trailing hour, pass 2 carries the best (latest-view) click seen
   // in the trailing hour, and a purchase completes the funnel iff that
   // carried view is within its own trailing hour. Two window exchanges on
@@ -485,20 +485,29 @@ object Relational {
   // Stage flags are monotone by construction (s3 ⇒ s2 ⇒ s1), so depth is
   // their sum. Simultaneous timestamps count (RANGE frames include peers) —
   // in both engines identically.
+  //
+  // Both carried values are MAX (the LATEST qualifying view): the s3 test is
+  // an existence question — "is there a view v and click c with
+  // v <= c <= p and v >= p - 1h" — and the greedy-latest choice is exact for
+  // it (if ANY qualifying (v, c) exists, the latest view in that click's
+  // trailing hour qualifies too). Carrying MIN instead silently fails users
+  // whose early view shadows a later in-window one — a parity-proof bug (an
+  // oracle sharing the formulation agrees on the wrong answer), which is why
+  // the spec pins the multi-view golden.
   def q20Funnel(s: SparkSession, d: String): DataFrame = {
     val w = "(PARTITION BY user_id ORDER BY ts " +
       "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
     Tables.events(s, d)
       .selectExpr("user_id", "ts", "event_type")
       .selectExpr("user_id", "ts", "event_type",
-        s"MIN(CASE WHEN event_type = 'view' THEN ts END) OVER $w AS earliest_view")
-      .selectExpr("user_id", "ts", "event_type", "earliest_view",
-        s"MAX(CASE WHEN event_type = 'click' THEN earliest_view END) OVER $w " +
+        s"MAX(CASE WHEN event_type = 'view' THEN ts END) OVER $w AS latest_view")
+      .selectExpr("user_id", "ts", "event_type", "latest_view",
+        s"MAX(CASE WHEN event_type = 'click' THEN latest_view END) OVER $w " +
           "AS best_view_via_click")
       .groupBy(col("user_id"))
       .agg(
         max(when(col("event_type") === "view", 1).otherwise(0)).as("s1"),
-        max(when(col("event_type") === "click" && col("earliest_view").isNotNull,
+        max(when(col("event_type") === "click" && col("latest_view").isNotNull,
           1).otherwise(0)).as("s2"),
         max(when(col("event_type") === "purchase" &&
           col("best_view_via_click") >= col("ts") - expr("INTERVAL 1 HOUR"),
@@ -510,20 +519,20 @@ object Relational {
   val q20Sql: String =
     """WITH v1 AS (
       |  SELECT user_id, ts, event_type,
-      |    MIN(CASE WHEN event_type = 'view' THEN ts END) OVER w AS earliest_view
+      |    MAX(CASE WHEN event_type = 'view' THEN ts END) OVER w AS latest_view
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts
       |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)),
       |v2 AS (
-      |  SELECT user_id, ts, event_type, earliest_view,
-      |    MAX(CASE WHEN event_type = 'click' THEN earliest_view END) OVER w
+      |  SELECT user_id, ts, event_type, latest_view,
+      |    MAX(CASE WHEN event_type = 'click' THEN latest_view END) OVER w
       |      AS best_view_via_click
       |  FROM v1
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts
       |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW))
       |SELECT user_id,
       |  CAST(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
-      |     + MAX(CASE WHEN event_type = 'click' AND earliest_view IS NOT NULL
+      |     + MAX(CASE WHEN event_type = 'click' AND latest_view IS NOT NULL
       |            THEN 1 ELSE 0 END)
       |     + MAX(CASE WHEN event_type = 'purchase'
       |                 AND best_view_via_click >= ts - INTERVAL 1 HOUR

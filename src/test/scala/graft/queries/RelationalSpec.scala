@@ -183,14 +183,21 @@ class RelationalSpec extends AnyFunSuite {
       // user 6: chain spanning EXACTLY one hour view->purchase -> 3 (inclusive)
       (6L, "view", "10:00:00"), (6L, "click", "10:30:00"), (6L, "purchase", "11:00:00"),
       // user 7: purchase precedes the view -> 2 (view->click only)
-      (7L, "purchase", "09:00:00"), (7L, "view", "10:00:00"), (7L, "click", "10:10:00"))
+      (7L, "purchase", "09:00:00"), (7L, "view", "10:00:00"), (7L, "click", "10:10:00"),
+      // user 8: TWO views before the click; only the LATER one starts a
+      // chain that reaches the purchase within 1 h -> 3. Carrying the
+      // EARLIEST view per click (the bug this golden exists to catch) would
+      // shadow the 10:40 view with 10:00 and misreport depth 2
+      (8L, "view", "10:00:00"), (8L, "view", "10:40:00"),
+      (8L, "click", "10:45:00"), (8L, "purchase", "11:30:00"))
     rows.zipWithIndex.map { case ((u, t, hms), i) =>
       (i.toLong, ts(s"2024-01-01 $hms"), u, t, 0.0, "{}")
     }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$d/events.parquet")
     val got = Relational.queries("q20_funnel")(spark, d).collect()
       .map(r => (r.getLong(0), r.getInt(1))).toSeq
-    assert(got == Seq((1L, 3), (2L, 2), (3L, 2), (4L, 0), (5L, 1), (6L, 3), (7L, 2)))
+    assert(got == Seq((1L, 3), (2L, 2), (3L, 2), (4L, 0), (5L, 1), (6L, 3), (7L, 2),
+      (8L, 3)))
   }
 
   /** q21 melt semantics pinned by hand: every (flag, metric) cell of the
