@@ -579,7 +579,54 @@ object Relational {
        |ORDER BY l_returnflag, metric""".stripMargin
   }
 
+  // q22: SNAPSHOT DIFF via FULL OUTER join — the CDC/reconciliation shape:
+  // per-user activity in the first half of the window vs the second,
+  // full-outer joined on user_id and classified added / removed / changed /
+  // unchanged. This is how incremental dataset versions are reconciled at
+  // 100 TB (d07 is the dedup-specific instance; this is the generic one):
+  // both sides aggregate BEFORE the join (map-side-combinable, the join
+  // carries one row per user per side, never raw events), and the
+  // full-outer join shuffles both sides on the same key. The midpoint is a
+  // fixed literal so the split is deterministic at every SF (events span
+  // 2024-01, TESTDATA.md).
+  def q22SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val mid = lit("2024-01-16").cast(TimestampType)
+    val ev = Tables.events(s, d)
+    def half(cond: Column, name: String) = ev.filter(cond)
+      .groupBy(col("user_id")).agg(count(lit(1)).as(name))
+    half(col("ts") < mid, "n_before")
+      .join(half(col("ts") >= mid, "n_after"), Seq("user_id"), "full_outer")
+      .selectExpr("user_id",
+        "coalesce(n_before, 0L) AS n_before",
+        "coalesce(n_after, 0L) AS n_after",
+        "CASE WHEN n_before IS NULL THEN 'added' " +
+          "WHEN n_after IS NULL THEN 'removed' " +
+          "WHEN n_before = n_after THEN 'unchanged' " +
+          "ELSE 'changed' END AS status",
+        "coalesce(n_after, 0L) - coalesce(n_before, 0L) AS delta")
+      .orderBy(col("user_id"))
+  }
+
+  val q22Sql: String =
+    """WITH b AS (
+      |  SELECT user_id, COUNT(*) AS n_before FROM events
+      |  WHERE ts < TIMESTAMP '2024-01-16' GROUP BY user_id),
+      |a AS (
+      |  SELECT user_id, COUNT(*) AS n_after FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY user_id)
+      |SELECT COALESCE(b.user_id, a.user_id) AS user_id,
+      |  COALESCE(n_before, 0) AS n_before,
+      |  COALESCE(n_after, 0) AS n_after,
+      |  CASE WHEN n_before IS NULL THEN 'added'
+      |       WHEN n_after IS NULL THEN 'removed'
+      |       WHEN n_before = n_after THEN 'unchanged'
+      |       ELSE 'changed' END AS status,
+      |  COALESCE(n_after, 0) - COALESCE(n_before, 0) AS delta
+      |FROM b FULL OUTER JOIN a ON b.user_id = a.user_id
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_snapshot_diff" -> (q22SnapshotDiff _),
     "q21_unpivot" -> (q21Unpivot _),
     "q20_funnel" -> (q20Funnel _),
     "q19_sliding_window" -> (q19SlidingWindow _),
@@ -623,5 +670,6 @@ object Relational {
     "q18_pivot" -> q18Sql,
     "q19_sliding_window" -> q19Sql,
     "q20_funnel" -> q20Sql,
-    "q21_unpivot" -> q21Sql)
+    "q21_unpivot" -> q21Sql,
+    "q22_snapshot_diff" -> q22Sql)
 }

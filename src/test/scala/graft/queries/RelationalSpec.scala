@@ -220,4 +220,34 @@ class RelationalSpec extends AnyFunSuite {
       ("B", "sum_disc", 0.0), ("B", "sum_price", 50.0),
       ("B", "sum_qty", 5.0), ("B", "sum_tax", 0.1)))
   }
+
+  /** q22 full-outer diff semantics pinned by hand: all four statuses, the
+    * boundary row (midnight of the midpoint belongs to the AFTER side), and
+    * deltas signed from before to after.
+    */
+  test("q22 snapshot diff matches hand-computed goldens") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_q22").toString
+    def ts(s: String) = Timestamp.valueOf(s)
+    val rows = Seq(
+      (1L, "2024-01-05 10:00:00"), (1L, "2024-01-20 10:00:00"), // unchanged 1:1
+      (2L, "2024-01-05 10:00:00"), (2L, "2024-01-06 10:00:00"), // removed
+      (3L, "2024-01-20 10:00:00"),                              // added
+      (4L, "2024-01-05 10:00:00"), (4L, "2024-01-20 10:00:00"),
+      (4L, "2024-01-21 10:00:00"),                              // changed +1
+      (5L, "2024-01-16 00:00:00"))                              // boundary -> after
+    rows.zipWithIndex.map { case ((u, t), i) =>
+      (i.toLong, ts(t), u, "view", 0.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Relational.queries("q22_snapshot_diff")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, 1L, 1L, "unchanged", 0L),
+      (2L, 2L, 0L, "removed", -2L),
+      (3L, 0L, 1L, "added", 1L),
+      (4L, 1L, 2L, "changed", 1L),
+      (5L, 0L, 1L, "added", 1L)))
+  }
 }
