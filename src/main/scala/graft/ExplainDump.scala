@@ -53,8 +53,10 @@ object ExplainDump {
     "t07_ngram_novelty",    // inverted-index df join-back
     "sk01_hll_distinct",    // sketch state: map-side-combinable register MAX
     "sk03_bloom_filter",    // sketch probe: broadcast word state
+    "q22_snapshot_diff",    // aggregate-before-join full-outer reconciliation
     "kg02_events_per_year", // edge-cache scan shape
-    "kg11_company_entities" // longest chain-join query
+    "kg11_company_entities", // longest chain-join query
+    "kg15_entity_cooccurrence" // bounded bipartite projection self-join
   )
 
   def main(args: Array[String]): Unit = {
