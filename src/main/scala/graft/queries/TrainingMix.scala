@@ -376,6 +376,80 @@ object TrainingMix {
       |GROUP BY fp, rep, cluster_size
       |ORDER BY rep""".stripMargin
 
+  // x07: CAPPED mixture weights — the third mixture-planning primitive
+  // (x01 samples, x04 temperature-scales, x06 splits): no source may exceed
+  // CapE6 of the token budget; the excess redistributes proportionally
+  // among uncapped sources. Exact integer WATERFILLING, closed-form via
+  // windows on the tiny per-source frame (source-cardinality rows — the
+  // same documented single-partition windows as x04, no corpus re-scan):
+  // sort by mass desc; source r is capped iff, with the r-1 heavier sources
+  // capped, its proportional share of the remaining budget still exceeds
+  // the cap — m_r · (1e6 − (r−1)·Cap) > Cap · suffixMass_r, all BIGINT —
+  // and the capped set is the maximal prefix where that holds (running AND).
+  // Uncapped weight = (1e6 − k·Cap) · m DIV uncappedMass. The prefix rule
+  // self-terminates with budget left (k ≤ (1e6−1) DIV Cap), and when the
+  // cap is INFEASIBLE (few sources, n·Cap < 1e6) every source caps and the
+  // shortfall is OBSERVABLE in w_total_e6 — pinned by the spec, never a
+  // silent lie. Cap 52000 (5.2%) splits the ~20-source synthetic corpus at
+  // every SF, so both branches run in the driver gate.
+  private[queries] val CapE6 = 52000L
+
+  def x07CappedMixture(s: SparkSession, d: String): DataFrame = {
+    val byMass = Window.orderBy(col("m").desc, col("source"))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.documents(s, d).selectExpr("source", s"$nTok AS nt")
+      .groupBy(col("source")).agg(sum(col("nt")).as("m"))
+      .withColumn("r", row_number().over(byMass).cast("long"))
+      .withColumn("suffix", sum(col("m"))
+        .over(byMass.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("over",
+        when(col("m") * (lit(1000000L) - (col("r") - 1) * CapE6) >
+          lit(CapE6) * col("suffix"), 1L).otherwise(0L))
+      .withColumn("capped", min(col("over"))
+        .over(byMass.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("k", sum(col("capped")).over(all))
+      .withColumn("mu",
+        sum(when(col("capped") === 0, col("m")).otherwise(0L)).over(all))
+      .selectExpr("source", "m AS n_tokens", "CAST(capped AS INT) AS is_capped",
+        s"CASE WHEN capped = 1 THEN ${CapE6}L " +
+          s"ELSE ((1000000 - k * $CapE6) * m) DIV mu END AS w_e6")
+      .withColumn("w_total_e6", sum(col("w_e6")).over(all))
+      .orderBy(col("source"))
+  }
+
+  val x07Sql: String =
+    s"""WITH per AS (
+       |  SELECT source,
+       |    CAST(sum(CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)) AS BIGINT) AS m
+       |  FROM documents GROUP BY source),
+       |ranked AS (
+       |  SELECT source, m,
+       |    CAST(ROW_NUMBER() OVER mass AS BIGINT) AS r,
+       |    SUM(m) OVER (mass ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+       |      AS suffix
+       |  FROM per WINDOW mass AS (ORDER BY m DESC, source)),
+       |flagged AS (
+       |  SELECT *,
+       |    MIN(CASE WHEN m * (1000000 - (r - 1) * $CapE6) > $CapE6 * suffix
+       |             THEN 1 ELSE 0 END)
+       |      OVER (ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS capped
+       |  FROM ranked),
+       |totals AS (
+       |  SELECT *,
+       |    CAST(SUM(capped) OVER () AS BIGINT) AS k,
+       |    CAST(SUM(CASE WHEN capped = 0 THEN m ELSE 0 END) OVER () AS BIGINT)
+       |      AS mu
+       |  FROM flagged),
+       |weighted AS (
+       |  SELECT source, m AS n_tokens, CAST(capped AS INT) AS is_capped,
+       |    CASE WHEN capped = 1 THEN CAST($CapE6 AS BIGINT)
+       |         ELSE ((1000000 - k * $CapE6) * m) // mu END AS w_e6
+       |  FROM totals)
+       |SELECT source, n_tokens, is_capped, w_e6,
+       |  CAST(SUM(w_e6) OVER () AS BIGINT) AS w_total_e6
+       |FROM weighted ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_stratified_sample" -> (x01StratifiedSample _),
     "x02_shard_packing" -> (x02ShardPacking _),
@@ -383,7 +457,8 @@ object TrainingMix {
     "x04_temperature_mix" -> (x04TemperatureMix _),
     "d07_incremental_dedup" -> (d07IncrementalDedup _),
     "x05_zorder_layout" -> (x05ZorderLayout _),
-    "x06_leakage_safe_split" -> (x06LeakageSafeSplit _))
+    "x06_leakage_safe_split" -> (x06LeakageSafeSplit _),
+    "x07_capped_mixture" -> (x07CappedMixture _))
 
   val oracleSql: Map[String, String] = Map(
     "x01_stratified_sample" -> x01Sql,
@@ -392,5 +467,6 @@ object TrainingMix {
     "x04_temperature_mix" -> x04Sql,
     "d07_incremental_dedup" -> d07Sql,
     "x05_zorder_layout" -> x05Sql,
-    "x06_leakage_safe_split" -> x06Sql)
+    "x06_leakage_safe_split" -> x06Sql,
+    "x07_capped_mixture" -> x07Sql)
 }

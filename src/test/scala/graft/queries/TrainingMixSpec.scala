@@ -254,4 +254,55 @@ class TrainingMixSpec extends AnyFunSuite {
     val perDocSplits = cluster.map { case (id, _) => coin(id.toString) }.distinct
     assert(perDocSplits.size == 2)
   }
+
+  /** x07 against a sequential waterfilling recompute — both the feasible
+    * fixture (some sources capped, budget fully distributed up to DIV
+    * truncation) and the INFEASIBLE one (few sources, n·Cap < 1e6: all cap
+    * and w_total_e6 exposes the shortfall rather than silently lying).
+    */
+  test("x07 capped mixture == sequential waterfilling; shortfall observable") {
+    import spark.implicits._
+    val cap = 52000L
+    def waterfill(masses: Seq[(String, Long)]): Seq[(String, Long, Int, Long)] = {
+      val sorted = masses.sortBy { case (src, m) => (-m, src) }
+      var capped = Vector.empty[String]
+      var stillOver = true
+      for (((src, m), i) <- sorted.zipWithIndex if stillOver) {
+        val suffix = sorted.drop(i).map(_._2).sum
+        if (m * (1000000L - i * cap) > cap * suffix) capped :+= src
+        else stillOver = false
+      }
+      val mu = masses.filterNot(p => capped.contains(p._1)).map(_._2).sum
+      val k = capped.size
+      masses.map { case (src, m) =>
+        val w = if (capped.contains(src)) cap else (1000000L - k * cap) * m / mu
+        (src, m, if (capped.contains(src)) 1 else 0, w)
+      }.sortBy(_._1)
+    }
+    def run(masses: Seq[(String, Long)]): (Seq[(String, Long, Int, Long)], Long) = {
+      val d = java.nio.file.Files.createTempDirectory("graft_x07").toString
+      masses.zipWithIndex.map { case ((src, m), i) =>
+        // m tokens == m-1 spaces; single long "word block" text
+        (i.toLong, Seq.fill(m.toInt)("w").mkString(" "), "en", src, m)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      val rows = TrainingMix.queries("x07_capped_mixture")(spark, d).collect()
+      (rows.map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSeq,
+        rows.head.getLong(4))
+    }
+    // feasible: 20 sources, two heavy (capped), rest uniform
+    val feasible = Seq("sA" -> 900L, "sB" -> 700L) ++
+      (0 until 18).map(i => f"s$i%02d" -> 300L)
+    val (gotF, totalF) = run(feasible)
+    val wantF = waterfill(feasible)
+    assert(gotF == wantF)
+    assert(gotF.count(_._3 == 1) >= 1 && gotF.count(_._3 == 0) >= 1)
+    assert(totalF == gotF.map(_._4).sum && totalF > 990000L) // DIV dust only
+    // infeasible: 4 sources, 4·52000 < 1e6 -> all capped, shortfall visible
+    val infeasible = Seq("a" -> 600L, "b" -> 200L, "c" -> 120L, "d" -> 80L)
+    val (gotI, totalI) = run(infeasible)
+    assert(gotI.forall(_._3 == 1))
+    assert(gotI.forall(_._4 == cap))
+    assert(totalI == 4 * cap) // 208000 — the observable shortfall
+  }
 }
