@@ -308,7 +308,63 @@ object TextAnalysis {
       |FROM documents d LEFT JOIN per USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  // t09: PII SCRUBBING — the safety stage of a training-data pipeline:
+  // detect and redact emails / IPv4s / phone numbers, counting what was
+  // removed. The synthetic corpus is PII-free BY CONSTRUCTION (letters-only
+  // word soup), so the operator would never fire on it; instead each doc is
+  // augmented with DETERMINISTIC synthetic PII derived from doc_id
+  // (doc_id%3 emails, doc_id%2 IPs, a phone iff doc_id%5=0 — honest fixture
+  // injection, clearly not real data), then measured and scrubbed BY REGEX
+  // over the augmented text. The patterns are RE2-and-Java-safe (character
+  // classes only, no lookaround, no \d shorthand), replacements run in a
+  // fixed order in both engines, and the redacted text is fingerprinted so
+  // the gate hashes the scrub RESULT, not just the counts. Pure per-row
+  // expressions — embarrassingly parallel at any scale.
+  // escape-FREE patterns ([.] and [+] classes, never backslash): a backslash
+  // inside a SQL string literal is an escape character with engine-specific
+  // unknown-escape behavior — the exact parity trap this avoids
+  private val piiPatterns = Seq( // (pattern, replacement) — applied in order
+    ("[a-z0-9.]+@[a-z0-9]+[.][a-z]+", "[EMAIL]"),
+    ("[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}", "[IP]"),
+    ("[+]1-[0-9]{3}-[0-9]{4}", "[PHONE]"))
+
+  def t09PiiScrub(s: SparkSession, d: String): DataFrame = {
+    val aug = "concat(text, ' ', " +
+      "repeat(concat('user', CAST(doc_id AS STRING), '@example.com '), CAST(doc_id % 3 AS INT)), " +
+      "repeat(concat('10.0.0.', CAST(doc_id % 256 AS STRING), ' '), CAST(doc_id % 2 AS INT)), " +
+      "CASE WHEN doc_id % 5 = 0 THEN '+1-555-0199 ' ELSE '' END)"
+    val redacted = piiPatterns.foldLeft("aug") { case (acc, (p, r)) =>
+      s"regexp_replace($acc, '$p', '$r')"
+    }
+    Tables.documents(s, d)
+      .selectExpr("doc_id", s"$aug AS aug")
+      .selectExpr("doc_id",
+        s"CAST(size(regexp_extract_all(aug, '${piiPatterns(0)._1}', 0)) AS BIGINT) AS n_emails",
+        s"CAST(size(regexp_extract_all(aug, '${piiPatterns(1)._1}', 0)) AS BIGINT) AS n_ips",
+        s"CAST(size(regexp_extract_all(aug, '${piiPatterns(2)._1}', 0)) AS BIGINT) AS n_phones",
+        s"md5($redacted) AS redacted_fp")
+      .orderBy(col("doc_id"))
+  }
+
+  val t09Sql: String = {
+    val aug = "text || ' ' || " +
+      "repeat('user' || CAST(doc_id AS VARCHAR) || '@example.com ', CAST(doc_id % 3 AS INT)) || " +
+      "repeat('10.0.0.' || CAST(doc_id % 256 AS VARCHAR) || ' ', CAST(doc_id % 2 AS INT)) || " +
+      "CASE WHEN doc_id % 5 = 0 THEN '+1-555-0199 ' ELSE '' END"
+    val redacted = piiPatterns.foldLeft("aug") { case (acc, (p, r)) =>
+      s"regexp_replace($acc, '$p', '$r', 'g')"
+    }
+    s"""WITH a AS (SELECT doc_id, $aug AS aug FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(aug, '${piiPatterns(0)._1}')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(aug, '${piiPatterns(1)._1}')) AS BIGINT) AS n_ips,
+       |  CAST(len(regexp_extract_all(aug, '${piiPatterns(2)._1}')) AS BIGINT) AS n_phones,
+       |  md5($redacted) AS redacted_fp
+       |FROM a ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t09_pii_scrub" -> (t09PiiScrub _),
     "t08_unigram_surprisal" -> (t08UnigramSurprisal _),
     "t07_ngram_novelty" -> (t07NgramNovelty _),
     "t01_token_stats" -> (t01TokenStats _),
@@ -326,5 +382,6 @@ object TextAnalysis {
     "t05_bpe_tokens" -> t05Sql,
     "t06_repetition" -> t06Sql,
     "t07_ngram_novelty" -> t07Sql,
-    "t08_unigram_surprisal" -> t08Sql)
+    "t08_unigram_surprisal" -> t08Sql,
+    "t09_pii_scrub" -> t09Sql)
 }

@@ -86,4 +86,47 @@ class TextAnalysisSpec extends AnyFunSuite {
       (1L, 5L, 11L, 2200L),
       (2L, 1L, 4L, 4000L)))
   }
+
+  /** t09 against the injection formula and a sequential Java-regex scrub —
+    * measured counts must equal what was injected (no false positives on the
+    * letters-only base text, none missed), and the redacted fingerprint must
+    * equal scrubbing sequentially with the same patterns in the same order.
+    */
+  test("t09 PII scrub counts and redaction match the injection formula") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_t09").toString
+    val base = Seq(
+      (0L, "plain words only here"), // 0 emails, 0 ips, but %5=0 -> phone
+      (1L, "more plain words"),      // 1 email, 1 ip, no phone
+      (2L, "and some other text"),   // 2 emails, 0 ips
+      (5L, "five gets a phone"),     // 2 emails, 1 ip, phone
+      (6L, "six is fully clean"))    // %3=0, %2=0, %5=1 -> nothing injected
+    base.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    def aug(id: Long, t: String): String =
+      t + " " + (s"user$id@example.com " * (id % 3).toInt) +
+        (s"10.0.0.${id % 256} " * (id % 2).toInt) +
+        (if (id % 5 == 0) "+1-555-0199 " else "")
+    val pats = Seq(
+      "[a-z0-9.]+@[a-z0-9]+[.][a-z]+" -> "[EMAIL]",
+      "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}" -> "[IP]",
+      "[+]1-[0-9]{3}-[0-9]{4}" -> "[PHONE]")
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = base.map { case (id, t) =>
+      val a = aug(id, t)
+      val red = pats.foldLeft(a) { case (acc, (p, r)) =>
+        acc.replaceAll(p, java.util.regex.Matcher.quoteReplacement(r))
+      }
+      (id, (id % 3), (id % 2), if (id % 5 == 0) 1L else 0L, md5hex(red))
+    }
+    val got = TextAnalysis.queries("t09_pii_scrub")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq
+    assert(got == want)
+    // fixture exercises all three kinds and the zero case
+    assert(want.exists(_._2 > 0) && want.exists(_._3 > 0) && want.exists(_._4 > 0))
+    assert(want.exists(w => w._2 == 0 && w._3 == 0 && w._4 == 0))
+  }
 }
