@@ -89,11 +89,20 @@ object KgOracles {
        |FROM ev WHERE EXISTS (SELECT 1 FROM reach r WHERE r.node = ev.node)
        |GROUP BY ym ORDER BY ym""".stripMargin
 
-  val kg05Sql: String =
+  /** The five association-chain CTEs (evctx/ctxsent/sentphrase/phraseart/
+    * sameas) shared by the kg05/kg11/kg15 oracles — the ONE SQL definition
+    * mirroring KgPipeline.assocChain. `extraPreds` widens the `e` predicate
+    * projection; `eventsOnly` adds the events-prefix guard on evctx.
+    */
+  private def assocCtes(extraPreds: Seq[String], eventsOnly: Boolean): String = {
+    val preds = (Seq(identifiedBy, subString, gnWP, Ns.owlSameAs) ++ extraPreds)
+      .map(x => s"'$x'").mkString(", ")
+    val headGuard =
+      if (eventsOnly) s" AND starts_with(subj, '${Ns.events}')" else ""
     s"""WITH e AS (SELECT DISTINCT subj, pred, obj FROM ${t("kg_triples")}
-       |  WHERE pred IN ('$identifiedBy', '$subString', '$gnWP', '${Ns.owlSameAs}',
-       |                 '$hasOsm', '$asWKT', '$mention')),
-       |evctx AS (SELECT subj AS event, obj AS ctx FROM e WHERE pred = '$identifiedBy'),
+       |  WHERE pred IN ($preds)),
+       |evctx AS (SELECT subj AS event, obj AS ctx FROM e
+       |          WHERE pred = '$identifiedBy'$headGuard),
        |ctxsent AS (SELECT subj AS ctx, obj AS sent FROM e
        |            WHERE pred = '$subString' AND starts_with(obj, '${Ns.sentences}')),
        |sentphrase AS (SELECT subj AS sent, obj AS phrase FROM e
@@ -101,7 +110,11 @@ object KgOracles {
        |phraseart AS (SELECT subj AS phrase, obj AS article FROM e
        |              WHERE pred = '$gnWP' AND starts_with(subj, '${Ns.phrases}')),
        |sameas AS (SELECT subj AS article, obj AS wd FROM e
-       |           WHERE pred = '${Ns.owlSameAs}' AND starts_with(subj, '${Ns.wikipediaArticle}')),
+       |           WHERE pred = '${Ns.owlSameAs}' AND starts_with(subj, '${Ns.wikipediaArticle}'))""".stripMargin
+  }
+
+  val kg05Sql: String =
+    s"""${assocCtes(Seq(hasOsm, asWKT, mention), eventsOnly = false)},
        |hasosm AS (SELECT subj AS holder, obj AS osm FROM e WHERE pred = '$hasOsm'),
        |wkts AS (SELECT subj AS osm, obj AS wkt FROM e WHERE pred = '$asWKT'),
        |dates AS (SELECT subj AS event, obj AS dt FROM e
@@ -203,18 +216,7 @@ object KgOracles {
        |FROM c""".stripMargin
 
   val kg11Sql: String =
-    s"""WITH e AS (SELECT DISTINCT subj, pred, obj FROM ${t("kg_triples")}
-       |  WHERE pred IN ('$identifiedBy', '$subString', '$gnWP', '${Ns.owlSameAs}', '$p31')),
-       |evctx AS (SELECT subj AS event, obj AS ctx FROM e
-       |          WHERE pred = '$identifiedBy' AND starts_with(subj, '${Ns.events}')),
-       |ctxsent AS (SELECT subj AS ctx, obj AS sent FROM e
-       |            WHERE pred = '$subString' AND starts_with(obj, '${Ns.sentences}')),
-       |sentphrase AS (SELECT subj AS sent, obj AS phrase FROM e
-       |               WHERE pred = '$subString' AND starts_with(obj, '${Ns.phrases}')),
-       |phraseart AS (SELECT subj AS phrase, obj AS article FROM e
-       |              WHERE pred = '$gnWP' AND starts_with(subj, '${Ns.phrases}')),
-       |sameas AS (SELECT subj AS article, obj AS wd FROM e
-       |           WHERE pred = '${Ns.owlSameAs}' AND starts_with(subj, '${Ns.wikipediaArticle}')),
+    s"""${assocCtes(Seq(p31), eventsOnly = true)},
        |types AS (SELECT subj AS wd, obj AS tpe FROM e WHERE pred = '$p31'),
        |co AS (SELECT '${Ns.WD}' || value AS tpe FROM ${t("kg_company")})
        |SELECT DISTINCT sa.wd
@@ -348,18 +350,7 @@ object KgOracles {
   // entity-entity co-occurrence edges; the <= Kg15MaxEntities guard is part
   // of the definition and recomputed here.
   val kg15Sql: String =
-    s"""WITH e AS (SELECT DISTINCT subj, pred, obj FROM ${t("kg_triples")}
-       |  WHERE pred IN ('$identifiedBy', '$subString', '$gnWP', '${Ns.owlSameAs}')),
-       |evctx AS (SELECT subj AS event, obj AS ctx FROM e
-       |          WHERE pred = '$identifiedBy' AND starts_with(subj, '${Ns.events}')),
-       |ctxsent AS (SELECT subj AS ctx, obj AS sent FROM e
-       |            WHERE pred = '$subString' AND starts_with(obj, '${Ns.sentences}')),
-       |sentphrase AS (SELECT subj AS sent, obj AS phrase FROM e
-       |               WHERE pred = '$subString' AND starts_with(obj, '${Ns.phrases}')),
-       |phraseart AS (SELECT subj AS phrase, obj AS article FROM e
-       |              WHERE pred = '$gnWP' AND starts_with(subj, '${Ns.phrases}')),
-       |sameas AS (SELECT subj AS article, obj AS wd FROM e
-       |           WHERE pred = '${Ns.owlSameAs}' AND starts_with(subj, '${Ns.wikipediaArticle}')),
+    s"""${assocCtes(Nil, eventsOnly = true)},
        |ew AS (
        |  SELECT DISTINCT ec.event, sa.wd
        |  FROM evctx ec JOIN ctxsent cs ON ec.ctx = cs.ctx

@@ -155,34 +155,63 @@ object KgPipeline {
 
   // Q4: per-day event-location WKTs via the multi-hop chain
   // event→context→sentence→phrase→article→(sameAs→osm | osm) (create_event_map.py:441-461)
-  def kg05EventMapWkts(s: SparkSession, d: String): DataFrame = {
-    // joining duplicated edge sets multiplies quadratically — all
-    // projections come from the shared date-deduped edge cache
+  /** The five-projection association chain event → textContext → sentence →
+    * phrase → wikipediaArticle → wikidata entity, shared by kg05 / kg11 /
+    * kg15. The namespace prefix filters here are the correctness-critical
+    * part and exist ONCE — the oracle side has the same single definition
+    * (KgOracles.assocCtes), so the engine and its oracles move in lockstep.
+    * `eventsOnly` adds the events-prefix guard on the chain head (kg11/kg15;
+    * kg05 keeps every isIdentifiedBy holder).
+    */
+  private case class AssocChain(evCtx: DataFrame, ctxSent: DataFrame,
+      sentPhrase: DataFrame, phraseArt: DataFrame, sameAs: DataFrame) {
+    /** (event, ..., article) — the four-hop join to the article. */
+    def toArticle: DataFrame =
+      evCtx.join(ctxSent, "ctx").join(sentPhrase, "sent").join(phraseArt, "phrase")
+    /** (event, wd) — the full five-hop association. */
+    def eventWd: DataFrame =
+      toArticle.join(sameAs, "article").select(col("event"), col("wd"))
+  }
+
+  private def assocChain(s: SparkSession, d: String, eventsOnly: Boolean): AssocChain = {
     val t = edges(s, d)
     def p(pred: String) = t.filter(col("pred") === edgePred(pred))
       .select(col("subj"), col("obj"))
-    val evCtx = p(Ns.COY + "isIdentifiedBy").select(col("subj").as("event"), col("obj").as("ctx"))
-    val ctxSent = p(Ns.NIF + "subString").select(col("subj").as("ctx"), col("obj").as("sent"))
-      .filter(col("sent").startsWith(Ns.sentences))
-    val sentPhrase = p(Ns.NIF + "subString").select(col("subj").as("sent"), col("obj").as("phrase"))
-      .filter(col("phrase").startsWith(Ns.phrases))
-    val phraseArt = p(Ns.GN + "wikipediaArticle")
-      .filter(col("subj").startsWith(Ns.phrases))
-      .select(col("subj").as("phrase"), col("obj").as("article"))
-    val sameAs = p(Ns.owlSameAs)
-      .filter(col("subj").startsWith(Ns.wikipediaArticle)) // article→wd only
-      .select(col("subj").as("article"), col("obj").as("wd"))
+    val evCtx0 = p(Ns.COY + "isIdentifiedBy")
+    AssocChain(
+      (if (eventsOnly) evCtx0.filter(col("subj").startsWith(Ns.events)) else evCtx0)
+        .select(col("subj").as("event"), col("obj").as("ctx")),
+      p(Ns.NIF + "subString").select(col("subj").as("ctx"), col("obj").as("sent"))
+        .filter(col("sent").startsWith(Ns.sentences)),
+      p(Ns.NIF + "subString").select(col("subj").as("sent"), col("obj").as("phrase"))
+        .filter(col("phrase").startsWith(Ns.phrases)),
+      p(Ns.GN + "wikipediaArticle")
+        .filter(col("subj").startsWith(Ns.phrases))
+        .select(col("subj").as("phrase"), col("obj").as("article")),
+      p(Ns.owlSameAs)
+        .filter(col("subj").startsWith(Ns.wikipediaArticle)) // article→wd only
+        .select(col("subj").as("article"), col("obj").as("wd")))
+  }
+
+  def kg05EventMapWkts(s: SparkSession, d: String): DataFrame = {
+    // joining duplicated edge sets multiplies quadratically — all
+    // projections come from the shared date-deduped edge cache (via the
+    // shared association chain; kg05 keeps every isIdentifiedBy holder)
+    val ch = assocChain(s, d, eventsOnly = false)
+    val t = edges(s, d)
+    def p(pred: String) = t.filter(col("pred") === edgePred(pred))
+      .select(col("subj"), col("obj"))
     val hasOsm = p(Ns.COY + "hasOsmElement").select(col("subj").as("holder"), col("obj").as("osm"))
     val wkt = p(Ns.GEO + "asWKT").select(col("subj").as("osm"), col("obj").as("wkt"))
     val dates = p(Ns.COY + "hasMentionDate")
       .filter(col("subj").startsWith(Ns.events))
       .select(col("subj").as("event"), col("obj").as("date"))
 
-    val artOsm = sameAs.join(hasOsm, sameAs("wd") === hasOsm("holder")).select(col("article"), col("osm"))
+    val artOsm = ch.sameAs.join(hasOsm, ch.sameAs("wd") === hasOsm("holder")).select(col("article"), col("osm"))
       .unionByName(hasOsm
         .filter(col("holder").startsWith(Ns.wikipediaArticle))
         .withColumnRenamed("holder", "article").select(col("article"), col("osm")))
-    evCtx.join(ctxSent, "ctx").join(sentPhrase, "sent").join(phraseArt, "phrase")
+    ch.toArticle
       .join(artOsm, "article").join(wkt, "osm").join(dates, "event")
       .select(col("date"), col("event"), col("article"), col("wkt"))
       .distinct()
@@ -263,27 +292,12 @@ object KgPipeline {
   // entities whose type is in the company-subclass closure.
   def kg11CompanyEntities(s: SparkSession, d: String): DataFrame = {
     val t = edges(s, d)
-    def p(pred: String) = t.filter(col("pred") === edgePred(pred))
-      .select(col("subj"), col("obj"))
-    val evCtx = p(Ns.COY + "isIdentifiedBy")
-      .filter(col("subj").startsWith(Ns.events))
-      .select(col("subj").as("event"), col("obj").as("ctx"))
-    val ctxSent = p(Ns.NIF + "subString").select(col("subj").as("ctx"), col("obj").as("sent"))
-      .filter(col("sent").startsWith(Ns.sentences))
-    val sentPhrase = p(Ns.NIF + "subString").select(col("subj").as("sent"), col("obj").as("phrase"))
-      .filter(col("phrase").startsWith(Ns.phrases))
-    val phraseArt = p(Ns.GN + "wikipediaArticle")
-      .filter(col("subj").startsWith(Ns.phrases))
-      .select(col("subj").as("phrase"), col("obj").as("article"))
-    val sameAs = p(Ns.owlSameAs)
-      .filter(col("subj").startsWith(Ns.wikipediaArticle))
-      .select(col("subj").as("article"), col("obj").as("wd"))
-    val p31 = p(Ns.WDT + "P31")
+    val p31 = t.filter(col("pred") === edgePred(Ns.WDT + "P31"))
       .select(col("subj").as("wd"), col("obj").as("tpe"))
     val company = Dicts.companySubclassesDs(s)
       .select(concat(lit(Ns.WD), col("value")).as("tpe"))
-    evCtx.join(ctxSent, "ctx").join(sentPhrase, "sent").join(phraseArt, "phrase")
-      .join(sameAs, "article").join(p31, "wd")
+    assocChain(s, d, eventsOnly = true).eventWd
+      .join(p31, "wd")
       .join(broadcast(company), Seq("tpe"), "left_semi")
       .select(col("wd")).distinct()
       .orderBy(col("wd"))
@@ -513,25 +527,7 @@ object KgPipeline {
   val Kg15MaxEntities = 64
 
   def kg15EntityCooccurrence(s: SparkSession, d: String): DataFrame = {
-    val t = edges(s, d)
-    def p(pred: String) = t.filter(col("pred") === edgePred(pred))
-      .select(col("subj"), col("obj"))
-    val evCtx = p(Ns.COY + "isIdentifiedBy")
-      .filter(col("subj").startsWith(Ns.events))
-      .select(col("subj").as("event"), col("obj").as("ctx"))
-    val ctxSent = p(Ns.NIF + "subString").select(col("subj").as("ctx"), col("obj").as("sent"))
-      .filter(col("sent").startsWith(Ns.sentences))
-    val sentPhrase = p(Ns.NIF + "subString").select(col("subj").as("sent"), col("obj").as("phrase"))
-      .filter(col("phrase").startsWith(Ns.phrases))
-    val phraseArt = p(Ns.GN + "wikipediaArticle")
-      .filter(col("subj").startsWith(Ns.phrases))
-      .select(col("subj").as("phrase"), col("obj").as("article"))
-    val sameAs = p(Ns.owlSameAs)
-      .filter(col("subj").startsWith(Ns.wikipediaArticle))
-      .select(col("subj").as("article"), col("obj").as("wd"))
-    val eventWd = evCtx.join(ctxSent, "ctx").join(sentPhrase, "sent")
-      .join(phraseArt, "phrase").join(sameAs, "article")
-      .select(col("event"), col("wd")).distinct()
+    val eventWd = assocChain(s, d, eventsOnly = true).eventWd.distinct()
       .localCheckpoint(true) // feeds the size guard and both self-join sides
     val ok = eventWd.join(
       eventWd.groupBy(col("event")).agg(count(lit(1)).as("k"))

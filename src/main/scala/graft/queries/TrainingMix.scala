@@ -399,6 +399,16 @@ object TrainingMix {
     val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     Tables.documents(s, d).selectExpr("source", s"$nTok AS nt")
       .groupBy(col("source")).agg(sum(col("nt")).as("m"))
+      // x04's overflow rule: the cap test multiplies m by up to 1e6, so a
+      // source past Long.MaxValue/1e6 (~9.2e12) tokens must FAIL LOUDLY in
+      // the plan — Spark's non-ANSI wrap would otherwise compute the capped
+      // set from a negative product while DuckDB errors, a silent divergence
+      // in exactly the 100 TB regime this operator targets
+      .withColumn("m",
+        expr(s"CASE WHEN m > ${Long.MaxValue / 1000000} THEN " +
+          "CAST(raise_error('x07: source token mass overflows the e6 " +
+          "fixed-point cap test — raise the weight unit') AS BIGINT) " +
+          "ELSE m END"))
       .withColumn("r", row_number().over(byMass).cast("long"))
       .withColumn("suffix", sum(col("m"))
         .over(byMass.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
