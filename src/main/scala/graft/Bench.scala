@@ -53,7 +53,10 @@ object Bench {
     val cacheBuilds = Seq(
       "cache_edges" -> timed(KgPipeline.edges(spark, sfDir).count()),
       "cache_enriched" -> timed(KgPipeline.enriched(spark, sfDir).count()),
-      "cache_metrics" -> timed(KgPipeline.kg12MonthlyMetrics(spark, sfDir).count()))
+      "cache_metrics" -> timed(KgPipeline.kg12MonthlyMetrics(spark, sfDir).count()),
+      // the nested spans-array decode kg14/m05/m06 share (the r4 lap's two
+      // unexplained outliers were this build hiding inside m05/m06)
+      "cache_corpus" -> timed(KgPipeline.corpusSpans(spark, sfDir).count()))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> timed(fn(spark, sfDir).count())
     }

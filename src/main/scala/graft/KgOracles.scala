@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.kg.{CorpusStore, Dicts, Ns, Synth}
+import graft.kg.{CorpusStore, Dicts, Ns, SequentialOracle, Synth}
 
 /** DuckDB oracles for the kg* query layer.
   *
@@ -365,7 +365,36 @@ object KgOracles {
        |FROM ok x JOIN ok y ON x.event = y.event AND x.wd < y.wd
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // kg16: the fidelity diff recomputed from the two dumped sets — the
+  // engine's materialized triples vs the sequential oracle's independent
+  // re-derivation. Same full-outer null-safe 8-column join as the engine
+  // query (IS NOT DISTINCT FROM ↔ Spark's <=>); DuckDB SUM widens to
+  // HUGEINT, hence the CASTs.
+  val kg16Sql: String = {
+    val cols = Seq("graph_module", "subj", "pred", "obj", "obj_is_iri",
+      "obj_dtype", "obj_lang", "event_date")
+    val cond = cols.map(c => s"e.$c IS NOT DISTINCT FROM o.$c").mkString(" AND ")
+    s"""WITH e AS (SELECT DISTINCT * FROM ${t("kg_triples")}),
+       |o AS (SELECT DISTINCT * FROM ${t("kg_oracle_triples")}),
+       |j AS (
+       |  SELECT CASE WHEN e.subj IS NOT NULL THEN 1 ELSE 0 END AS in_eng,
+       |         CASE WHEN o.subj IS NOT NULL THEN 1 ELSE 0 END AS in_orc
+       |  FROM e FULL OUTER JOIN o ON $cond),
+       |c AS (
+       |  SELECT CAST(SUM(in_eng) AS BIGINT) AS n_engine,
+       |         CAST(SUM(in_orc) AS BIGINT) AS n_oracle,
+       |         CAST(SUM(in_eng * in_orc) AS BIGINT) AS n_common
+       |  FROM j)
+       |SELECT n_engine, n_oracle, n_common,
+       |  n_engine - n_common AS n_only_engine,
+       |  n_oracle - n_common AS n_only_oracle,
+       |  (1000000 * n_common) // n_engine AS precision_e6,
+       |  (1000000 * n_common) // n_oracle AS recall_e6
+       |FROM c""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "kg16_triple_parity" -> kg16Sql,
     "kg15_entity_cooccurrence" -> kg15Sql,
     "kg01_module_counts" -> kg01Sql,
     "kg02_events_per_year" -> kg02Sql,
@@ -412,6 +441,12 @@ object KgOracles {
     def write(df: DataFrame, name: String): Unit =
       df.coalesce(1).write.mode("overwrite").parquet(s"$auxDir/$name")
     write(KgPipeline.triples(s, sfDir).toDF(), "kg_triples")
+    // kg16's second input: the sequential oracle's INDEPENDENT triple set
+    // (driver-side walk, no Spark) — dumped so DuckDB can recompute the
+    // engine-vs-oracle fidelity diff from artifacts, not from in-JVM state
+    write(s.createDataFrame(s.sparkContext.parallelize(
+      SequentialOracle.expectedTriples(Synth.paramsFor(sfDir)).toSeq, 8)),
+      "kg_oracle_triples")
     write(Dicts.companySubclassesDs(s).toDF("value"), "kg_company")
     write(KgPipeline.labeledLocations(s, sfDir), "kg_labeled")
     write(enrichedView(s, sfDir), "kg_enriched")

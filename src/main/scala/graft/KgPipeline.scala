@@ -32,6 +32,13 @@ object KgPipeline {
   private val enrichedCache =
     new graft.plans.SessionCache[Dataset[EnrichedArticle]]("kg-enriched")
   private val metricsCache = new graft.plans.SessionCache[DataFrame]("kg-metrics")
+  // kg14/m05/m06 all consume the interleaved corpus span-by-span, and the
+  // nested spans-array parquet decode dominates each of them (r4 driver lap:
+  // m05 15.9 s + m06 14.6 s vs ~1 s of actual window/agg work) — decode and
+  // posexplode ONCE per (session, sf) and share the flat projection, exactly
+  // the treatment the triple/edge/enriched caches got in r4
+  private val corpusSpansCache =
+    new graft.plans.SessionCache[DataFrame]("kg-corpus-spans")
 
   def triples(spark: SparkSession, sfDir: String): Dataset[Triple] =
     cache.get(spark, sfDir)(Pipeline.materializedTriples(spark, sfDir))
@@ -54,7 +61,26 @@ object KgPipeline {
     edgeCache.foreachValue(graft.plans.Caches.free(_)); edgeCache.clear()
     enrichedCache.foreachValue(graft.plans.Caches.free(_)); enrichedCache.clear()
     metricsCache.foreachValue(graft.plans.Caches.free(_)); metricsCache.clear()
+    corpusSpansCache.foreachValue(graft.plans.Caches.free(_)); corpusSpansCache.clear()
   }
+
+  /** The interleaved corpus, exploded to one row per span with its 1-based
+    * array position — the shared input of every span-shaped consumer (kg14
+    * inventory, m05 context alignment, m06 asset dedup). Cached as a leaf
+    * per (session, sf): the flat projection is narrow (six scalar columns),
+    * while re-decoding the NESTED spans array from parquet per query is the
+    * dominant cost at every scale. At 100 TB the same trade holds — one
+    * decode feeding n consumers — and the reliable-checkpoint gate
+    * (plans.Caches) makes the leaf executor-loss-safe on a real cluster.
+    */
+  def corpusSpans(spark: SparkSession, sfDir: String): DataFrame =
+    corpusSpansCache.get(spark, sfDir)(
+      graft.plans.Caches.leaf(
+        kg.CorpusStore.scan(spark, kg.Synth.paramsFor(sfDir))
+          .selectExpr("doc_id", "posexplode(spans) AS (j, sp)")
+          .selectExpr("doc_id", "CAST(j + 1 AS BIGINT) AS pos",
+            "sp.kind AS kind", "sp.text AS text",
+            "sp.media_ref AS media_ref", "sp.offset AS offset")))
 
   /** Predicates the shared edge cache retains — the union of every kg-query
     * projection below. The cache deliberately EXCLUDES the heavy literal
@@ -495,15 +521,13 @@ object KgPipeline {
   // kind/text/media_ref/offset) changes the row hash, so the green driver
   // row IS the span-sequence-equality invariant (BASELINE.json input_hint)
   // checked end-to-end through parquet by an independent engine. Plan shape:
-  // one corpus scan → in-row position/prev carry (no window shuffle) →
-  // posexplode → hash → one groupBy(kind); embarrassingly parallel at 100 TB.
+  // the shared corpusSpans leaf (decode+posexplode once per sf, reused by
+  // m05/m06) → hash → one groupBy(kind); embarrassingly parallel at 100 TB.
   def kg14SpanInventory(s: SparkSession, d: String): DataFrame = {
-    val corpus = kg.CorpusStore.scan(s, kg.Synth.paramsFor(d))
-    corpus
-      .selectExpr("doc_id", "posexplode(spans) AS (j, sp)")
-      .selectExpr("doc_id", "sp.kind AS kind", "sp.media_ref AS media_ref",
-        "CAST(conv(substr(md5(concat_ws('|', doc_id, j + 1, sp.kind, " +
-          "coalesce(sp.text, ''), coalesce(sp.media_ref, ''), sp.offset)), " +
+    corpusSpans(s, d)
+      .selectExpr("doc_id", "kind", "media_ref",
+        "CAST(conv(substr(md5(concat_ws('|', doc_id, pos, kind, " +
+          "coalesce(text, ''), coalesce(media_ref, ''), offset)), " +
           "1, 8), 16, 10) AS BIGINT) AS coin")
       .groupBy(col("kind"))
       .agg(
@@ -540,7 +564,53 @@ object KgPipeline {
       .orderBy(col("wd_a"), col("wd_b"))
   }
 
+  /** kg16: PIPELINE-FIDELITY PARITY, driver-visible. The kg oracles
+    * recompute queries over engine-dumped intermediates, so the triple table
+    * itself was until now gated only by ScalaTest (sequential-oracle P/R
+    * fixtures, invisible to the driver). This query diffs the DISTRIBUTED
+    * pipeline's triple set against the INDEPENDENT sequential re-derivation
+    * (graft.kg.SequentialOracle — plain driver-side Scala maps, no Spark) as
+    * one full-outer null-safe 8-column join, and emits the set cardinalities
+    * plus integer precision/recall. Verify dumps BOTH sets to _oracle_aux and
+    * the DuckDB oracle recomputes the identical diff from the dumps — a green
+    * row makes P=R=1.0 a driver artifact (r4 verdict item 7). The query also
+    * FAILS LOUDLY on any mismatch (collect + require), so a fidelity break
+    * turns the CORRECTNESS row red rather than green-with-nonzero-columns.
+    */
+  def kg16TripleParity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cols = Seq("graph_module", "subj", "pred", "obj", "obj_is_iri",
+      "obj_dtype", "obj_lang", "event_date")
+    val eng = triples(s, d).toDF().select(cols.map(col): _*).distinct()
+    // parallelize (not createDataset): a LocalRelation would embed the whole
+    // oracle set in ONE task (~10 MB/0.001 sf — 100 MB-class at sf0.1)
+    val orc = s.createDataset(s.sparkContext.parallelize(
+        SequentialOracle.expectedTriples(Synth.paramsFor(d)).toSeq, 8))
+      .toDF().select(cols.map(col): _*)
+    val joinCond = cols.map(c => eng(c) <=> orc(c)).reduce(_ && _)
+    val parity = eng.join(orc, joinCond, "full_outer")
+      .select(
+        when(eng("subj").isNotNull, 1L).otherwise(0L).as("in_eng"),
+        when(orc("subj").isNotNull, 1L).otherwise(0L).as("in_orc"))
+      .agg(
+        sum(col("in_eng")).as("n_engine"),
+        sum(col("in_orc")).as("n_oracle"),
+        sum(col("in_eng") * col("in_orc")).as("n_common"))
+      .selectExpr("n_engine", "n_oracle", "n_common",
+        "n_engine - n_common AS n_only_engine",
+        "n_oracle - n_common AS n_only_oracle",
+        "(1000000 * n_common) DIV n_engine AS precision_e6",
+        "(1000000 * n_common) DIV n_oracle AS recall_e6")
+    val row = parity.collect().head
+    require(row.getLong(3) == 0L && row.getLong(4) == 0L,
+      s"kg16 triple parity broken: ${row.getLong(3)} engine-only and " +
+        s"${row.getLong(4)} oracle-only triples (engine ${row.getLong(0)}, " +
+        s"sequential oracle ${row.getLong(1)})")
+    parity
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kg16_triple_parity" -> (kg16TripleParity _),
     "kg15_entity_cooccurrence" -> (kg15EntityCooccurrence _),
     "kg01_module_counts" -> (kg01ModuleCounts _),
     "kg02_events_per_year" -> (kg02EventsPerYear _),

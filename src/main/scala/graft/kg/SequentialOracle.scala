@@ -7,8 +7,14 @@ package graft.kg
   * plumbing end to end (FIXTURES.md §3). The reference-semantics *functions*
   * themselves (parse folds, date bank, URI minting, timespan filling) are
   * validated separately by the unit-test fixture banks.
+  *
+  * Main-scope (not test) because it feeds TWO independent gates: the
+  * ScalaTest P/R fixtures (KgQueriesSpec/PipelineSpec) and the DRIVER-VISIBLE
+  * kg16_triple_parity row — graft.Verify dumps this set alongside the
+  * pipeline's, and the DuckDB oracle recomputes the diff, making P=R=1.0 a
+  * committed driver artifact instead of a spec-only claim.
   */
-object Oracle {
+object SequentialOracle {
 
   def expectedTriples(p: Synth.Params): Set[Triple] = {
     val dicts = Enrich.buildDicts(p)

@@ -172,18 +172,18 @@ object Multimodal {
     * text+media training pipeline (a media span carries no text of its own;
     * its training context is the text flow it interrupts). Alignment is by
     * ARRAY POSITION, not offset — marker/metadata spans legitimately restart
-    * offset at 0. Plan: one corpus scan → posexplode → one running-last
-    * window per doc (ignoreNulls) — no self-join; at 100 TB this is a single
-    * shuffle by doc_id. The DuckDB oracle re-derives the alignment with a
+    * offset at 0. Plan: the SHARED exploded-span leaf (KgPipeline.corpusSpans
+    * — the nested spans-array parquet decode is the dominant cost and is paid
+    * once per sf across kg14/m05/m06) → one running-last window per doc
+    * (ignoreNulls) — no self-join; at 100 TB this is a single shuffle by
+    * doc_id. The DuckDB oracle re-derives the alignment with a
     * max-preceding-position join over the NESTED aux dump instead of a
     * window, so the semantics are recomputed, not restated.
     */
   def m05SpanContextAlign(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val corpus = graft.kg.CorpusStore.scan(s, graft.kg.Synth.paramsFor(d))
-    val sp = corpus.selectExpr("doc_id", "posexplode(spans) AS (j, sp)")
-      .selectExpr("doc_id", "CAST(j + 1 AS BIGINT) AS pos",
-        "sp.kind AS kind", "sp.text AS text", "sp.media_ref AS media_ref")
+    val sp = graft.KgPipeline.corpusSpans(s, d)
+      .select(col("doc_id"), col("pos"), col("kind"), col("text"), col("media_ref"))
     val w = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, -1) // strictly preceding
     val ctx = struct(col("pos"), col("kind"), col("text"))
@@ -223,15 +223,15 @@ object Multimodal {
     * The asset-dedup primitive of an interleaved corpus at 100 TB: repeated
     * images/anchors are fetched, decoded and stored ONCE, keyed exactly by
     * this table (the same shape content-hash dedup takes when bytes are
-    * available — the ref plays the hash's role here). Plan: one corpus scan,
-    * one explode, one (kind, ref)-keyed aggregate — countDistinct folds
-    * map-side via partial HLL-free two-phase agg; no joins.
+    * available — the ref plays the hash's role here). Plan: the shared
+    * exploded-span leaf (KgPipeline.corpusSpans — decode paid once per sf),
+    * one (kind, ref)-keyed aggregate — countDistinct folds map-side via
+    * partial two-phase agg; no joins.
     */
   def m06MediaDedup(s: SparkSession, d: String): DataFrame = {
-    val corpus = graft.kg.CorpusStore.scan(s, graft.kg.Synth.paramsFor(d))
-    corpus.selectExpr("doc_id", "explode(spans) AS sp")
-      .filter(col("sp.media_ref").isNotNull)
-      .selectExpr("doc_id", "sp.kind AS kind", "sp.media_ref AS media_ref")
+    graft.KgPipeline.corpusSpans(s, d)
+      .filter(col("media_ref").isNotNull)
+      .select(col("doc_id"), col("kind"), col("media_ref"))
       .groupBy(col("kind"), col("media_ref"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occurrences"),

@@ -387,15 +387,21 @@ object Dedup {
     // the dense-vector side is a narrow (doc_id, 64×BIGINT) projection —
     // broadcast below the size gate (same pattern as the one-hop join's
     // conf-gated fallback); oversize corpora fall back to a shuffle join on
-    // the pair keys, which co-partitions with cand's distinct. Default gate
-    // 100k docs: each row is ~0.5 KB (64×8 B vector + norm), so 100k ≈ 50 MB
-    // materialized per broadcast side — 1M rows would be ~0.5-1 GB and risk
-    // driver OOM long before the row gate fires.
-    val bcMax = s.conf.getOption("graft.d06.broadcast.maxDocs")
-      .map(_.toLong).getOrElse(100000L)
+    // the pair keys, which co-partitions with cand's distinct. The gate is
+    // BYTE-based, not row-based: what OOMs the driver is the materialized
+    // broadcast (rows × row bytes), and the row width here is fixed and
+    // known — EmbDim 8-byte slots + doc_id + n2 + array/offset overhead ≈
+    // 0.57 KB/doc — so a row gate would under-admit narrow projections and
+    // over-admit this one (1M docs ≈ 0.5-1 GB, an OOM below a 100k-row
+    // gate's radar only by luck of the default). Default 64 MB ≈ 110k docs,
+    // ~the old row default, and well under a 1 GB driver result budget even
+    // with both join sides resident.
+    val embRowBytes = EmbDim * 8L + 64L // v slots + doc_id + n2 + overhead
+    val bcMaxBytes = s.conf.getOption("graft.d06.broadcast.maxBytes")
+      .map(_.toLong).getOrElse(64L << 20)
     def side(n: String, vn: String, nn: String) = {
       val v = vecs.select(col("doc_id").as(n), col("v").as(vn), col("n2").as(nn))
-      if (nDocs <= bcMax) broadcast(v) else v
+      if (nDocs * embRowBytes <= bcMaxBytes) broadcast(v) else v
     }
     cand
       .join(side("a", "va", "n2a"), Seq("a"))

@@ -48,6 +48,12 @@ object Graph {
       .selectExpr("doc_id AS child", "doc_id DIV 2 AS parent")
     var frontier = nodes.filter(col("doc_id") === 0)
       .select(col("doc_id"), lit(0).as("depth"))
+    // same root assumption as g05's source seed: the oracle's recursive CTE
+    // anchors at node 0 unconditionally, so a corpus without doc_id 0 must
+    // fail loudly here, not return an empty frame against a non-empty oracle
+    require(frontier.count() == 1,
+      "g02 tree depth needs doc_id 0 as the root (the oracle anchors its " +
+        "recursion there) — the documents table has no such row")
     var acc = frontier
     var productive = 0
     var done = false
@@ -242,6 +248,13 @@ object Graph {
       var dist = docs.filter(col("doc_id") === 0)
         .selectExpr("doc_id AS node", "CAST(0 AS BIGINT) AS dist")
         .localCheckpoint(eager = true)
+      // the oracle's d0 CTE seeds node 0 UNCONDITIONALLY; a documents table
+      // without doc_id 0 would make the engine return an empty frame (empty
+      // frontier, immediate loop exit) while the oracle still emits phantom
+      // distances — fail loudly instead of diverging silently
+      require(dist.count() == 1,
+        "g05 SSSP needs doc_id 0 as the source (the oracle seeds it " +
+          "unconditionally) — the documents table has no such row")
       var frontier = dist
       var productive = 0
       var done = false

@@ -310,13 +310,119 @@ object Sketches {
        |ORDER BY words.word_idx""".stripMargin
   }
 
+  // ---- sk04: deterministic hash-sampled quantile sketch -------------------
+  // Mergeable quantile state with a CALIBRATION readout (the d09 pattern:
+  // the query measures its own sketch against the exact answer). The state
+  // is a Bernoulli hash sample — keep a lineitem row iff the first md5
+  // nibble of its (orderkey, linenumber) row key is 0, p = 1/16 — which is
+  // the quantile-sketch state that stays DRIVER-HASH-EXACT: KLL/t-digest
+  // compaction decisions are rng- and arrival-order-driven, while a
+  // content-keyed coin is a pure function of the row, so both engines build
+  // the IDENTICAL sample. Merge = plain union (a 1000-executor tree-agg
+  // concatenates per-partition samples; expected size p·n per group, tuned
+  // by nibble count — each extra nibble is a 16× reduction). Readout = rank
+  // selection inside the sample (q16's O(1)-memory algorithm at 1/16 the
+  // rows); calibration = each estimate's TRUE cdf interval against the FULL
+  // table (one scan + a broadcast of the k-row estimate frame), with the
+  // DKW-style rank-error bound err ≤ 3/√m checked in INTEGER form
+  // (err_e6² · m ≤ 9·10¹² — no cross-engine sqrt enters the gate).
+  def sk04QuantileSketch(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = "md5(concat(CAST(l_orderkey AS STRING), ':', " +
+      "CAST(l_linenumber AS STRING)))"
+    val li = Tables.lineitem(s, d).selectExpr("l_returnflag",
+      "CAST(floor(l_quantity) AS BIGINT) AS q", s"${nib(h, 1)} AS coin")
+    val sample = li.filter(col("coin") === 0)
+    val ranked = sample.withColumn("rk", row_number().over(
+      Window.partitionBy("l_returnflag").orderBy("q")))
+    val mSz = sample.groupBy(col("l_returnflag")).agg(count(lit(1)).as("m"))
+    // the k/4-quantile estimate = the sample element at 0-indexed rank
+    // ((m-1)·k) DIV 4 (lower selection, no interpolation — stays a data
+    // value, so the true-cdf probe below is well-defined). Ties in q need no
+    // tiebreak: every row at the selected rank carries the same q.
+    val ests = ranked.join(mSz, Seq("l_returnflag"))
+      .selectExpr("l_returnflag", "m", "rk", "q",
+        "explode(array(1, 2, 3)) AS quantile_k")
+      .filter(expr("rk = ((m - 1) * quantile_k) DIV 4 + 1"))
+      .selectExpr("l_returnflag", "quantile_k", "m AS m_sample", "q AS est_q")
+    val nSz = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    li.join(broadcast(ests), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"), col("quantile_k"), col("m_sample"),
+        col("est_q"))
+      .agg(sum(when(col("q") < col("est_q"), 1L).otherwise(0L)).as("lt"),
+        sum(when(col("q") <= col("est_q"), 1L).otherwise(0L)).as("le"))
+      .join(broadcast(nSz), Seq("l_returnflag"))
+      .selectExpr("l_returnflag", "quantile_k", "n", "m_sample", "est_q",
+        "(1000000 * lt) DIV n AS cdf_lo_e6",
+        "(1000000 * le) DIV n AS cdf_hi_e6")
+      // est_q is an actual data value, so its true cdf is the INTERVAL
+      // [lt/n, le/n]; the rank error is the distance from the k/4 target to
+      // that interval (zero when the target falls inside it)
+      .selectExpr("l_returnflag", "quantile_k", "n", "m_sample", "est_q",
+        "cdf_lo_e6", "cdf_hi_e6",
+        "CASE WHEN cdf_lo_e6 > quantile_k * 250000 " +
+          "THEN cdf_lo_e6 - quantile_k * 250000 " +
+          "WHEN cdf_hi_e6 < quantile_k * 250000 " +
+          "THEN quantile_k * 250000 - cdf_hi_e6 " +
+          "ELSE CAST(0 AS BIGINT) END AS rank_err_e6")
+      .selectExpr("l_returnflag", "quantile_k", "n", "m_sample", "est_q",
+        "cdf_lo_e6", "cdf_hi_e6", "rank_err_e6",
+        "CASE WHEN rank_err_e6 * rank_err_e6 * m_sample <= 9000000000000 " +
+          "THEN 1 ELSE 0 END AS within_bound")
+      .orderBy(col("l_returnflag"), col("quantile_k"))
+  }
+
+  val sk04Sql: String =
+    """WITH li AS (
+      |  SELECT l_returnflag, CAST(floor(l_quantity) AS BIGINT) AS q,
+      |    (instr('0123456789abcdef', substr(md5(CAST(l_orderkey AS VARCHAR)
+      |       || ':' || CAST(l_linenumber AS VARCHAR)), 1, 1)) - 1) AS coin
+      |  FROM lineitem),
+      |smp AS (SELECT l_returnflag, q FROM li WHERE coin = 0),
+      |ranked AS (SELECT l_returnflag, q,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY q) AS rk
+      |  FROM smp),
+      |msz AS (SELECT l_returnflag, COUNT(*) AS m FROM smp GROUP BY 1),
+      |ks AS (SELECT UNNEST([1, 2, 3]) AS quantile_k),
+      |ests AS (
+      |  SELECT r.l_returnflag, ks.quantile_k, msz.m AS m_sample, r.q AS est_q
+      |  FROM ranked r JOIN msz USING (l_returnflag) CROSS JOIN ks
+      |  WHERE r.rk = ((msz.m - 1) * ks.quantile_k) // 4 + 1),
+      |nsz AS (SELECT l_returnflag, COUNT(*) AS n FROM li GROUP BY 1),
+      |cmp AS (
+      |  SELECT li.l_returnflag, e.quantile_k, e.m_sample, e.est_q,
+      |    CAST(SUM(CASE WHEN li.q < e.est_q THEN 1 ELSE 0 END) AS BIGINT) AS lt,
+      |    CAST(SUM(CASE WHEN li.q <= e.est_q THEN 1 ELSE 0 END) AS BIGINT) AS le
+      |  FROM li JOIN ests e USING (l_returnflag)
+      |  GROUP BY 1, 2, 3, 4),
+      |cdf AS (
+      |  SELECT c.l_returnflag, c.quantile_k, nsz.n, c.m_sample, c.est_q,
+      |    (1000000 * c.lt) // nsz.n AS cdf_lo_e6,
+      |    (1000000 * c.le) // nsz.n AS cdf_hi_e6
+      |  FROM cmp c JOIN nsz USING (l_returnflag)),
+      |err AS (
+      |  SELECT *,
+      |    CASE WHEN cdf_lo_e6 > quantile_k * 250000
+      |           THEN cdf_lo_e6 - quantile_k * 250000
+      |         WHEN cdf_hi_e6 < quantile_k * 250000
+      |           THEN quantile_k * 250000 - cdf_hi_e6
+      |         ELSE CAST(0 AS BIGINT) END AS rank_err_e6
+      |  FROM cdf)
+      |SELECT l_returnflag, quantile_k, n, m_sample, est_q, cdf_lo_e6,
+      |  cdf_hi_e6, rank_err_e6,
+      |  CASE WHEN rank_err_e6 * rank_err_e6 * m_sample <= 9000000000000
+      |       THEN 1 ELSE 0 END AS within_bound
+      |FROM err ORDER BY l_returnflag, quantile_k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sk01_hll_distinct" -> (sk01HllDistinct _),
     "sk02_cms_heavy_hitters" -> (sk02CmsHeavyHitters _),
-    "sk03_bloom_filter" -> (sk03BloomFilter _))
+    "sk03_bloom_filter" -> (sk03BloomFilter _),
+    "sk04_quantile_sketch" -> (sk04QuantileSketch _))
 
   val oracleSql: Map[String, String] = Map(
     "sk01_hll_distinct" -> sk01Sql,
     "sk02_cms_heavy_hitters" -> sk02Sql,
-    "sk03_bloom_filter" -> sk03Sql)
+    "sk03_bloom_filter" -> sk03Sql,
+    "sk04_quantile_sketch" -> sk04Sql)
 }

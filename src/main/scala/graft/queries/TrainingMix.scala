@@ -412,6 +412,17 @@ object TrainingMix {
       .withColumn("r", row_number().over(byMass).cast("long"))
       .withColumn("suffix", sum(col("m"))
         .over(byMass.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      // the OTHER overflow operand: the cap test's right side is CapE6 *
+      // suffix, and suffix at r=1 is the TOTAL corpus mass — many sources
+      // each under the per-source guard can still wrap the product (total
+      // ≳ 1.77e14 tokens). suffix is monotone decreasing in r, so guarding
+      // every row guards the total; same loud raise_error, same DuckDB-
+      // errors-anyway parity story as the per-source guard above.
+      .withColumn("suffix",
+        expr(s"CASE WHEN suffix > ${Long.MaxValue / CapE6} THEN " +
+          "CAST(raise_error('x07: total token mass overflows the cap test " +
+          "(CapE6 * suffix) — raise the weight unit') AS BIGINT) " +
+          "ELSE suffix END"))
       .withColumn("over",
         when(col("m") * (lit(1000000L) - (col("r") - 1) * CapE6) >
           lit(CapE6) * col("suffix"), 1L).otherwise(0L))

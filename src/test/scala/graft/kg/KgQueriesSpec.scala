@@ -19,7 +19,7 @@ class KgQueriesSpec extends AnyFunSuite {
 
   private val sfDir = "/root/testdata/sf0.001"
   private lazy val p = Synth.paramsFor(sfDir)
-  private lazy val oracle: Set[Triple] = Oracle.expectedTriples(p)
+  private lazy val oracle: Set[Triple] = SequentialOracle.expectedTriples(p)
   private def edgeSet: Set[(String, String, String)] =
     oracle.map(t => (t.subj, t.pred, t.obj))
 

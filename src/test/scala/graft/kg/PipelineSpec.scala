@@ -16,7 +16,7 @@ class PipelineSpec extends AnyFunSuite {
     val sfDir = "/root/testdata/sf0.001" // params: 2 months, 240 articles
     val p = Synth.paramsFor(sfDir)
     val got = Pipeline.triples(spark, sfDir).collect().toSet
-    val expected = Oracle.expectedTriples(p)
+    val expected = SequentialOracle.expectedTriples(p)
     val tp = (got & expected).size.toDouble
     val precision = if (got.nonEmpty) tp / got.size else 0.0
     val recall = if (expected.nonEmpty) tp / expected.size else 0.0

@@ -75,6 +75,31 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.exists { case (a, b, _) => a == 4L || b == 4L })
   }
 
+  /** The J1 pattern (broadcast AND forced-shuffle, identical rows) for d06's
+    * byte-based verification-join gate: the gate is a PLAN choice only, so
+    * both sides must produce the same pairs bit for bit.
+    */
+  test("d06 broadcast and shuffle verification joins emit identical rows") {
+    import spark.implicits._
+    val base = (0 until 30).map(j => s"word$j").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, base + " extraone"),
+      (4L, (100 until 130).map(j => s"other$j").mkString(" ")))
+    val dir = Files.createTempDirectory("graft_dedup_gate").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val key = "graft.d06.broadcast.maxBytes"
+    def run(): Seq[(Long, Long, Long)] =
+      Dedup.queries("d06_embedding_neardup")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val viaBroadcast = run() // default 64 MB ≫ 4 docs → broadcast path
+    spark.conf.set(key, "1") // 4 docs × ~0.57 KB > 1 B → shuffle path
+    try {
+      val viaShuffle = run()
+      assert(viaBroadcast == viaShuffle)
+      assert(viaBroadcast.nonEmpty) // the equality must not be vacuous
+    } finally spark.conf.unset(key)
+  }
+
   test("null-text docs are dropped from d01/d03 (oracle parity)") {
     import spark.implicits._
     // the DuckDB oracles lose null-text docs through the series join /

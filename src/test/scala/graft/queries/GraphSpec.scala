@@ -49,6 +49,25 @@ class GraphSpec extends AnyFunSuite {
     * assert on reached == all nodes pins the reachability claim the output
     * contract relies on.
     */
+  /** The oracles seed/anchor node 0 unconditionally; a corpus without
+    * doc_id 0 must fail LOUDLY (empty engine frame vs phantom oracle rows
+    * is exactly the silent-gate-mismatch class the kg04 sweep hunts).
+    */
+  test("g02/g05 fail loudly when the doc_id-0 seed is missing") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_gseed").toString
+    (5L until 15L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e5 = intercept[IllegalArgumentException] {
+      Graph.queries("g05_sssp")(spark, dir).collect()
+    }
+    assert(e5.getMessage.contains("doc_id 0"))
+    val e2 = intercept[IllegalArgumentException] {
+      Graph.queries("g02_tree_depth")(spark, dir).collect()
+    }
+    assert(e2.getMessage.contains("doc_id 0"))
+  }
+
   test("g05 SSSP == sequential Dijkstra; all nodes reached") {
     import spark.implicits._
     val n = 157L
