@@ -110,15 +110,44 @@ object KgPipeline {
   }
 
   /** Date-deduped edges over the kg-query predicate set, cached per sf.
-    * localCheckpoint (not persist): chain queries embed up to 8 copies of
-    * this frame, and a leaf plan keeps their eager per-transformation
-    * analysis O(query), not O(copies × lineage) — see materializedTriples.
+    *
+    * Two layouts, selected by conf `graft.edges.layout`:
+    *
+    *  - `leaf`: one localCheckpoint/checkpoint leaf
+    *    ([[graft.plans.Caches.leaf]]). Chain queries embed up to 8 copies of
+    *    this frame, and a leaf plan keeps their eager per-transformation
+    *    analysis O(query), not O(copies × lineage) — but every
+    *    per-predicate filter re-scans the WHOLE edge frame (kg11's plan
+    *    scans it 6×).
+    *  - `pred` (default): the projection is written ONCE as parquet partitioned by
+    *    `pred` and read back. Consumers are unchanged — their existing
+    *    `filter(col("pred") === …)` becomes partition PRUNING at the scan,
+    *    so each of kg11's 6 predicate legs reads only its own partition
+    *    instead of the full edge set. This is the layout a 100 TB triple
+    *    store wants (predicate-partitioned storage prunes I/O at the
+    *    source and survives executor loss); measured against `leaf` in
+    *    BENCH/BASELINE.md §edge-layout.
     */
   def edges(spark: SparkSession, sfDir: String): DataFrame =
-    edgeCache.get(spark, sfDir)(
-      graft.plans.Caches.leaf(triples(spark, sfDir)
+    edgeCache.get(spark, sfDir) {
+      val base = triples(spark, sfDir)
         .filter(col("pred").isin(EdgePreds: _*))
-        .select(col("subj"), col("pred"), col("obj")).distinct()))
+        .select(col("subj"), col("pred"), col("obj")).distinct()
+      if (spark.conf.get("graft.edges.layout", "pred") == "pred") {
+        // dir is keyed by (sf, session): two live sessions on the same sf
+        // must not overwrite each other's files mid-read. Caches.free
+        // deletes the directory on releaseAll.
+        val dir = spark.conf.get("graft.edges.predDir",
+          sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-edge-cache") +
+          "/" + java.lang.Integer.toHexString(sfDir.hashCode) +
+          "-" + java.lang.Integer.toHexString(System.identityHashCode(spark))
+        base.write.mode("overwrite").partitionBy("pred").parquet(dir)
+        // partition values round-trip URL-escaped directory names; the
+        // select restores the (subj, pred, obj) column order the leaf
+        // layout exposes. EdgeLayoutSpec asserts frame equality.
+        spark.read.parquet(dir).select(col("subj"), col("pred"), col("obj"))
+      } else graft.plans.Caches.leaf(base)
+    }
 
   /** Flagship: full pipeline at tiny scale — returns the triple DataFrame. */
   def entry(spark: SparkSession, sfDir: String): DataFrame =

@@ -56,6 +56,20 @@ object Caches {
             path.getFileSystem(sc.hadoopConfiguration).delete(path, true)
           } catch { case scala.util.control.NonFatal(_) => () }
         }
+      // the pred-partitioned edge cache (KgPipeline.edges layout=pred) is a
+      // session-private parquet directory this module wrote — delete it,
+      // nothing else ever reads it. Foreign file relations are untouched.
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths
+              .filter(_.toString.contains("graft-edge-cache"))
+              .foreach { path =>
+                try path.getFileSystem(sc.hadoopConfiguration).delete(path, true)
+                catch { case scala.util.control.NonFatal(_) => () }
+              }
+          case _ => ()
+        }
       case _ => ()
     }
   }
