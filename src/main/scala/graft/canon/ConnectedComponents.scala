@@ -70,6 +70,7 @@ object ConnectedComponents {
       it += 1
     }
     sym.unpersist(blocking = false)
+    graft.plans.Meters.set("cc.rounds", it.toLong)
     // pointer jumping halves the tree height per round: 30 rounds cover any
     // component with diameter < 2^30. If we ever DO hit the cap, the
     // assignment is not a fixpoint — refuse to return it silently (same

@@ -52,6 +52,7 @@ object Reach {
           reach = reach.union(next).localCheckpoint(true); frontier = next
         }
       }
+      graft.plans.Meters.set("reach.rounds", productive.toLong)
       reach
     }
   }

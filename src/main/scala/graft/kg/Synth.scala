@@ -45,6 +45,10 @@ object Synth {
   def paramsFor(sfDir: String): Params = {
     val sf = sfDir.split("sf").lastOption.getOrElse("0.001")
     sf match {
+      // growth-lap points (BENCH/BASELINE.md §growth): 2× and 4× the sf0.1
+      // corpus via extra years of day pages + proportional article pools
+      case s if s.startsWith("0.4") => Params(months = 8, articles = 4800, years = 4)
+      case s if s.startsWith("0.2") => Params(months = 8, articles = 2400, years = 2)
       case s if s.startsWith("0.1") => Params(months = 8, articles = 1200)
       case s if s.startsWith("0.01") => Params(months = 4, articles = 500)
       case _ => Params(months = 2, articles = 240)

@@ -91,7 +91,7 @@ object Dedup {
     * At 100 TB the same persist(MEMORY_AND_DISK) holds: signatures are a
     * narrow (doc_id, band, sig) projection, a tiny fraction of corpus bytes.
     */
-  private case class Prologue(groups: DataFrame,
+  private[graft] case class Prologue(groups: DataFrame,
       groupPairs: DataFrame, sigs: DataFrame)
 
   // plans.SessionCache: session-reference keys, single-build computeIfAbsent
@@ -102,7 +102,7 @@ object Dedup {
   private val prologueCache =
     new graft.plans.SessionCache[Prologue]("dedup-lsh-prologue")
 
-  private def prologue(s: SparkSession, d: String): Prologue =
+  private[graft] def prologue(s: SparkSession, d: String): Prologue =
     prologueCache.get(s, d) {
       val docs = Tables.documents(s, d)
         .filter(size(split(col("text"), " ")) >= 3)
@@ -139,7 +139,7 @@ object Dedup {
   /** Rep-level LSH candidate pairs (a < b) from the guard-bounded banding —
     * the single definition of "d02's candidate population", shared with d09.
     */
-  private def boundedBandPairs(sigs: DataFrame): DataFrame = {
+  private[graft] def boundedBandPairs(sigs: DataFrame): DataFrame = {
     val bucketSizes = sigs.groupBy(col("band"), col("sig"))
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= BucketGuard)
@@ -314,7 +314,13 @@ object Dedup {
     (4 to MaxEmbPlanes).find(p => nDocs <= EmbBucketTarget * (1L << p))
       .getOrElse(MaxEmbPlanes)
 
-  def d06EmbeddingNeardup(s: SparkSession, d: String): DataFrame = {
+  /** d06's candidate stage (everything before exact-cosine verification),
+    * split out so the growth lap can COUNT the candidate population per
+    * scale point — the quantity the star-pair guard bounds at 100 TB.
+    */
+  private[graft] case class D06Stage(cand: DataFrame, vecs: DataFrame, nDocs: Long)
+
+  private[graft] def d06CandidateStage(s: SparkSession, d: String): D06Stage = {
     val docs = Tables.documents(s, d)
     // exact-text pre-collapse: identical texts ⇒ identical vectors; band
     // representatives only, pair members with their rep (verified through
@@ -384,6 +390,11 @@ object Dedup {
       .unionByName(starPairs) // mega buckets: member ↔ bucket root only
       .unionByName(groupPairs) // exact-dup members ↔ canonical rep
       .distinct()
+    D06Stage(cand, vecs, nDocs)
+  }
+
+  def d06EmbeddingNeardup(s: SparkSession, d: String): DataFrame = {
+    val D06Stage(cand, vecs, nDocs) = d06CandidateStage(s, d)
     // the dense-vector side is a narrow (doc_id, 64×BIGINT) projection —
     // broadcast below the size gate (same pattern as the one-hop join's
     // conf-gated fallback); oversize corpora fall back to a shuffle join on
@@ -573,7 +584,13 @@ object Dedup {
   // 5·min(n) ≥ 3·max(n) prunes inside the join condition, and verification
   // touches candidate docs only. All arithmetic is integer-exact
   // (⌈3n/5⌉ = (3n+4) DIV 5; permille Jaccard as in d02).
-  def d08NgramJaccard(s: SparkSession, d: String): DataFrame = {
+  /** d08's prefix-filter candidate stage, split out (same reason as
+    * [[d06CandidateStage]]): the growth lap charts candidate volume —
+    * Σ df_prefix(g)² — against corpus scale.
+    */
+  private[graft] case class D08Stage(memb: DataFrame, grams: DataFrame, cand: DataFrame)
+
+  private[graft] def d08CandidateStage(s: SparkSession, d: String): D08Stage = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
       .filter(size(split(col("text"), " ")) >= 3)
@@ -610,14 +627,32 @@ object Dedup {
     // guaranteed, and under AQE the sides re-plan independently)
     val prefix = ranked.filter(col("rk") <= col("n") - expr("(3 * n + 4) DIV 5") + 1)
       .localCheckpoint(true)
+    // positional filter (PPJoin): a pair needs overlap c >= 3(na+nb)/8 to
+    // reach J >= 3/5, and the FIRST common gram under the global (df, g)
+    // order — which prefix filtering guarantees both prefixes contain —
+    // leaves at most 1 + min(na - rk_x, nb - rk_y) grams that can still be
+    // common (every other common gram ranks after it on BOTH sides, ranks
+    // being assigned by the same global order). Any qualifying pair
+    // therefore survives through that first gram, so the filter is LOSSLESS
+    // for the output while pruning deep-prefix matches. The growth lap
+    // measured why this matters: under a saturating gram universe (closed
+    // vocab) plain prefix filtering goes quadratic — candidates 183k -> 3.7M
+    // from 5k -> 20k docs (exponent ~2.2) without it.
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
           lit(5) * least(col("x.n"), col("y.n")) >=
-            lit(3) * greatest(col("x.n"), col("y.n")))
+            lit(3) * greatest(col("x.n"), col("y.n")) &&
+          lit(8) * (lit(1) + least(col("x.n") - col("x.rk"), col("y.n") - col("y.rk"))) >=
+            lit(3) * (col("x.n") + col("y.n")))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         col("x.n").as("na"), col("y.n").as("nb"))
       .distinct()
       .localCheckpoint(true) // feeds candDocs, common, and the final join
+    D08Stage(memb, grams, cand)
+  }
+
+  def d08NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val D08Stage(memb, grams, cand) = d08CandidateStage(s, d)
     val candDocs = cand.selectExpr("explode(array(a, b)) AS doc_id").distinct()
     val gc = grams.join(candDocs, Seq("doc_id"), "left_semi")
     val common = cand.select(col("a"), col("b"))

@@ -279,6 +279,7 @@ object Graph {
           frontier = improved
         }
       }
+      graft.plans.Meters.set("sssp.rounds", productive.toLong)
       dist.selectExpr("node AS doc_id", "dist").orderBy(col("doc_id"))
     }
   }
