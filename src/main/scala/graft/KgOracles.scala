@@ -393,7 +393,41 @@ object KgOracles {
        |FROM c""".stripMargin
   }
 
+  /** kg17 oracle: the g03 unrolled-CTE pattern over the DUMPED kg15
+    * co-occurrence edges — weighted integer PageRank recomputed by DuckDB
+    * from artifacts. MATERIALIZED leaves (e / wt / nodes) keep DuckDB from
+    * re-inlining the edge scan into every unrolled step (the g05 fd lesson).
+    * CASTs pin BIGINT against HUGEINT widening (driver-oracle parity rules).
+    */
+  val kg17Sql: String = {
+    val scale = KgPipeline.Kg17Scale
+    val nn = "(SELECT n FROM nn)"
+    val head =
+      s"""WITH cooc AS (SELECT * FROM ${t("kg_cooc")}),
+         |e AS MATERIALIZED (
+         |  SELECT wd_a AS src, wd_b AS dst, n_events AS w FROM cooc
+         |  UNION ALL
+         |  SELECT wd_b AS src, wd_a AS dst, n_events AS w FROM cooc),
+         |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+         |nn AS (SELECT COUNT(*) AS n FROM nodes),
+         |wt AS MATERIALIZED (
+         |  SELECT src, CAST(SUM(w) AS BIGINT) AS wtot FROM e GROUP BY src),
+         |p0 AS (SELECT node, CAST($scale // $nn AS BIGINT) AS pr FROM nodes)""".stripMargin
+    val iters = (1 to KgPipeline.Kg17Iters).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT e.dst AS node,
+         |    CAST((15 * ($scale // $nn)) // 100
+         |      + (85 * CAST(SUM((p${i - 1}.pr * e.w) // wt.wtot) AS BIGINT)) // 100 AS BIGINT) AS pr
+         |  FROM e JOIN p${i - 1} ON e.src = p${i - 1}.node
+         |  JOIN wt ON e.src = wt.src
+         |  GROUP BY e.dst)""".stripMargin
+    }
+    (Seq(head) ++ iters).mkString(",\n") +
+      s"\nSELECT node AS wd, pr AS pr_e12 FROM p${KgPipeline.Kg17Iters} ORDER BY node"
+  }
+
   val sql: Map[String, String] = Map(
+    "kg17_entity_pagerank" -> kg17Sql,
     "kg16_triple_parity" -> kg16Sql,
     "kg15_entity_cooccurrence" -> kg15Sql,
     "kg01_module_counts" -> kg01Sql,
@@ -463,5 +497,8 @@ object KgOracles {
       s"corpus max spans length $maxSpans exceeds the kg14 oracle series " +
         "window (4096) — widen generate_series before trusting the gate")
     write(corpus, "kg_corpus")
+    // kg17's input: the kg15 co-occurrence edge list, dumped so the oracle's
+    // unrolled PageRank runs over the same artifact the engine ranks
+    write(KgPipeline.kg15EntityCooccurrence(s, sfDir), "kg_cooc")
   }
 }

@@ -593,6 +593,53 @@ object KgPipeline {
       .orderBy(col("wd_a"), col("wd_b"))
   }
 
+  /** kg17: ENTITY SALIENCE — weighted PageRank over the kg15 co-occurrence
+    * graph (the standard KG-analytics ranking: which entities anchor the
+    * event graph). Integer-exact scaled-BIGINT power iterations — the g03
+    * pattern, which is the only hash-exact path for numeric loops — with
+    * per-node WEIGHTED mass split: a node's rank flows to each neighbor in
+    * proportion (pr * w) DIV wtot, so heavily co-mentioned pairs pull rank.
+    * Every round is one join + one aggregate over a localCheckpoint leaf
+    * (plans stay O(round)); 8 rounds, AQE off for the loop window. The
+    * DuckDB oracle recomputes the identical iteration as an unrolled
+    * MATERIALIZED CTE chain over the dumped co-occurrence edges
+    * ({AUX}/kg_cooc), so the semantics are re-derived from artifacts.
+    */
+  val Kg17Scale = 1000000000000L
+  val Kg17Iters = 8
+
+  def kg17EntityPagerank(s: SparkSession, d: String): DataFrame = {
+    val cooc = kg15EntityCooccurrence(s, d)
+      .select(col("wd_a"), col("wd_b"), col("n_events"))
+    val edges = cooc.selectExpr("wd_a AS src", "wd_b AS dst", "n_events AS w")
+      .unionAll(cooc.selectExpr("wd_b AS src", "wd_a AS dst", "n_events AS w"))
+      .localCheckpoint(true) // reused every round (plus wtot + nodes below)
+    val nodes = edges.select(col("src").as("node")).distinct().localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "kg17 needs a non-empty co-occurrence graph — kg15 " +
+      "returned no entity pairs")
+    // (pr * w) must not wrap: pr mass is bounded by Kg17Scale, so the guard
+    // is on the edge weights — loud, not silent (the x07 overflow lesson)
+    val maxW = edges.selectExpr("max(w) AS m").collect().head.getLong(0)
+    require(maxW <= 1000000L,
+      s"kg17 edge weight $maxW would overflow the scaled-integer rank " +
+        "product (Kg17Scale * w approaches Long range) — rescale first")
+    val wtot = edges.groupBy(col("src")).agg(sum(col("w")).as("wtot"))
+    val edgesW = edges.join(wtot, Seq("src")).localCheckpoint(true)
+    val teleport = 15L * (Kg17Scale / n) / 100
+    graft.plans.Aqe.without(s) {
+      var pr = nodes.selectExpr("node", s"CAST(${Kg17Scale / n} AS BIGINT) AS pr")
+      for (_ <- 1 to Kg17Iters) {
+        pr = edgesW.join(pr.withColumnRenamed("node", "src"), Seq("src"))
+          .selectExpr("dst", "(pr * w) DIV wtot AS c")
+          .groupBy(col("dst")).agg(sum(col("c")).as("sum_in"))
+          .selectExpr("dst AS node", s"$teleport + (85 * sum_in) DIV 100 AS pr")
+          .localCheckpoint(eager = true) // leaf per round: plans stay O(round)
+      }
+      pr.selectExpr("node AS wd", "pr AS pr_e12").orderBy(col("wd"))
+    }
+  }
+
   /** kg16: PIPELINE-FIDELITY PARITY, driver-visible. The kg oracles
     * recompute queries over engine-dumped intermediates, so the triple table
     * itself was until now gated only by ScalaTest (sequential-oracle P/R
@@ -639,6 +686,7 @@ object KgPipeline {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kg17_entity_pagerank" -> (kg17EntityPagerank _),
     "kg16_triple_parity" -> (kg16TripleParity _),
     "kg15_entity_cooccurrence" -> (kg15EntityCooccurrence _),
     "kg01_module_counts" -> (kg01ModuleCounts _),

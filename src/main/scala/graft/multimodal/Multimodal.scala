@@ -254,7 +254,83 @@ object Multimodal {
       |GROUP BY kind, media_ref
       |ORDER BY kind, media_ref""".stripMargin
 
+  /** m07: span-aware SEQUENCE PACKING over the interleaved corpus — the
+    * operation that turns interleaved text+media documents into fixed-budget
+    * training sequences. Differs from x02 (whole-doc, whitespace-token,
+    * per-lang) in exactly the ways an interleaved corpus demands: the packing
+    * unit is the SPAN (documents larger than the budget split at span
+    * boundaries, never mid-span), costs are MODALITY-WEIGHTED (text/ib_row
+    * spans cost their whitespace tokens; media placeholders a fixed 64;
+    * link anchors 16; structural markers 1 control token), and the stream is
+    * partitioned by MONTH (the corpus' natural shard key) so the running
+    * token sum is a per-partition window, not a global one — at 100 TB each
+    * month stream packs independently, embarrassingly parallel across
+    * shards, and the boundary rule (seq = tokens-before DIV budget) is the
+    * same streaming-pack rule x02 uses, overflowing by at most one span.
+    * Output: per-sequence composition stats (the shard-manifest row a
+    * training loader reads). Oracle: identical window+aggregate recomputed
+    * by DuckDB over the NESTED aux dump.
+    */
+  val SeqBudget = 512
+
+  private val spanCostSql: String =
+    """CASE WHEN kind IN ('text', 'ib_row')
+      |  THEN greatest(CAST(1 AS BIGINT),
+      |                CAST(size(split(COALESCE(text, ''), ' ')) AS BIGINT))
+      |WHEN kind = 'media' THEN CAST(64 AS BIGINT)
+      |WHEN media_ref IS NOT NULL THEN CAST(16 AS BIGINT)
+      |ELSE CAST(1 AS BIGINT) END""".stripMargin.replace('\n', ' ')
+
+  def m07SequencePacking(s: SparkSession, d: String): DataFrame =
+    graft.KgPipeline.corpusSpans(s, d)
+      .selectExpr("substr(doc_id, 5, 7) AS month", "doc_id", "pos",
+        "kind", "media_ref", s"$spanCostSql AS cost")
+      .selectExpr("month", "doc_id", "pos", "kind", "media_ref", "cost",
+        "COALESCE(SUM(cost) OVER (PARTITION BY month ORDER BY doc_id, pos " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), CAST(0 AS BIGINT)) AS cum_before")
+      .selectExpr("month", "doc_id", "pos", "kind", "media_ref", "cost",
+        s"cum_before DIV $SeqBudget AS seq_idx")
+      .groupBy(col("month"), col("seq_idx"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("cost")).as("n_tokens"),
+        sum(when(col("kind").isin("text", "ib_row"), col("cost"))
+          .otherwise(lit(0L))).as("text_tokens"),
+        sum(when(col("media_ref").isNotNull, col("cost"))
+          .otherwise(lit(0L))).as("media_tokens"))
+      .orderBy(col("month"), col("seq_idx"))
+
+  val m07Sql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, spans FROM read_parquet('{AUX}/kg_corpus/*.parquet')),
+       |series AS (SELECT i FROM generate_series(1, 4096) t(i)),
+       |sp AS (
+       |  SELECT substr(doc_id, 5, 7) AS month, doc_id, i AS pos,
+       |    spans[i].kind AS kind, spans[i].media_ref AS media_ref,
+       |    CASE WHEN spans[i].kind IN ('text', 'ib_row')
+       |      THEN greatest(1, len(string_split(COALESCE(spans[i].text, ''), ' ')))
+       |    WHEN spans[i].kind = 'media' THEN 64
+       |    WHEN spans[i].media_ref IS NOT NULL THEN 16
+       |    ELSE 1 END AS cost
+       |  FROM corpus JOIN series ON i <= len(spans)),
+       |packed AS (
+       |  SELECT month, doc_id, pos, kind, media_ref, cost,
+       |    COALESCE(SUM(cost) OVER (PARTITION BY month ORDER BY doc_id, pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM sp)
+       |SELECT month, CAST(cum_before // $SeqBudget AS BIGINT) AS seq_idx,
+       |  COUNT(*) AS n_spans,
+       |  COUNT(DISTINCT doc_id) AS n_docs,
+       |  CAST(SUM(cost) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN kind IN ('text', 'ib_row') THEN cost ELSE 0 END) AS BIGINT) AS text_tokens,
+       |  CAST(SUM(CASE WHEN media_ref IS NOT NULL THEN cost ELSE 0 END) AS BIGINT) AS media_tokens
+       |FROM packed
+       |GROUP BY month, seq_idx
+       |ORDER BY month, seq_idx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m07_sequence_packing" -> (m07SequencePacking _),
     "m06_media_dedup" -> (m06MediaDedup _),
     "m01_media_inventory" -> (m01MediaInventory _),
     "m02_frame_sample" -> (m02FrameSample _),
@@ -263,6 +339,7 @@ object Multimodal {
     "m05_span_context_align" -> (m05SpanContextAlign _))
 
   def oracleSql: Map[String, String] = Map(
+    "m07_sequence_packing" -> m07Sql,
     "m01_media_inventory" -> m01Sql,
     "m02_frame_sample" -> m02Sql,
     "m03_feature_extract" -> m03Sql,

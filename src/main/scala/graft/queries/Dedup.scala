@@ -785,7 +785,70 @@ object Dedup {
        |JOIN (SELECT doc_id AS b, n_sh AS nb FROM sizes) USING (b)
        |ORDER BY a, b""".stripMargin
 
+  // ---- d10: duplicated n-gram SPAN detection -------------------------------
+  /** Per-document runs of word 5-grams that also occur in ANOTHER document —
+    * the repeated-substring primitive of training-data hygiene (long spans
+    * shared across documents are boilerplate/quotation mass that survives
+    * doc-level dedup). Plan: one positioned gram explode (inverted-index
+    * shape), document frequency over distinct docs per gram, a semi
+    * join-back of duplicated grams, then gaps-and-islands per document
+    * (run id = pos − row_number, one per-doc window) → per-doc span stats.
+    * O(corpus grams) shuffle, no self-joins, window partitioned by doc —
+    * the shape survives 100 TB unchanged. Cross-DOC duplication only (a
+    * gram repeated within one document is not a dup here); spans report
+    * token lengths (run + 4). The DuckDB oracle recomputes the identical
+    * islands from its own 1-based positions — the run structure is
+    * offset-invariant, so position-base parity cancels by construction.
+    */
+  def d10DuplicateSpans(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(size(split(col("text"), " ")) >= 5)
+    val grams = docs
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr("doc_id", s"posexplode(${wordGramExpr(5)}) AS (p, g)")
+      .localCheckpoint(true) // feeds the df aggregate AND the semi join-back
+    val dupG = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2).select(col("g"))
+    val isl = grams.join(dupG, Seq("g"), "left_semi")
+      .selectExpr("doc_id", "p",
+        "p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS isl")
+    val runs = isl.groupBy(col("doc_id"), col("isl"))
+      .agg(count(lit(1)).as("run_len"))
+    runs.groupBy(col("doc_id"))
+      .agg(sum(col("run_len")).as("n_dup_grams"),
+        count(lit(1)).as("n_runs"),
+        (max(col("run_len")) + lit(4L)).as("longest_span_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d10Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE length(string_split(text, ' ')) >= 5),
+      |series AS (SELECT i FROM generate_series(1, 2048) t(i)),
+      |grams AS (
+      |  SELECT doc_id, i AS p,
+      |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+      |    toks[i+3] || ' ' || toks[i+4] AS g
+      |  FROM docs JOIN series ON i <= length(toks) - 4),
+      |dupg AS (
+      |  SELECT g FROM (
+      |    SELECT g, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY g) t
+      |  WHERE df >= 2),
+      |isl AS (
+      |  SELECT doc_id, p,
+      |    p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+      |  FROM grams JOIN dupg USING (g)),
+      |runs AS (
+      |  SELECT doc_id, isl, COUNT(*) AS run_len FROM isl GROUP BY doc_id, isl)
+      |SELECT doc_id,
+      |  CAST(SUM(run_len) AS BIGINT) AS n_dup_grams,
+      |  COUNT(*) AS n_runs,
+      |  CAST(MAX(run_len) + 4 AS BIGINT) AS longest_span_tokens
+      |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d10_duplicate_spans" -> (d10DuplicateSpans _),
     "d09_minhash_calibration" -> (d09MinhashCalibration _),
     "d01_minhash_signatures" -> (d01MinhashSignatures _),
     "d02_lsh_pairs" -> (d02LshPairs _),
@@ -803,5 +866,6 @@ object Dedup {
     "d05_lsh_bucket_stats" -> d05Sql,
     "d06_embedding_neardup" -> d06Sql,
     "d08_ngram_jaccard" -> d08Sql,
-    "d09_minhash_calibration" -> d09Sql)
+    "d09_minhash_calibration" -> d09Sql,
+    "d10_duplicate_spans" -> d10Sql)
 }

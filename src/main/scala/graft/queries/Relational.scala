@@ -625,7 +625,40 @@ object Relational {
       |FROM b FULL OUTER JOIN a ON b.user_id = a.user_id
       |ORDER BY user_id""".stripMargin
 
+  /** q23: CUBE over (lang, source) with explicit per-column grouping flags.
+    * The multi-dimensional rollup a corpus dashboard reads: per (lang,
+    * source) cell, per-lang margin, per-source margin, and the grand total,
+    * in ONE pass (Spark expands cube groups map-side; no 4× re-scan).
+    * grouping(col) is emitted per column (0/1, cast BIGINT) instead of
+    * grouping_id — bit order is engine-specific, per-flag values are not —
+    * and the aggregate-row NULLs are COALESCEd to '(all)' so the driver's
+    * row compare never depends on engine NULL-ordering.
+    */
+  def q23Cube(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        grouping(col("lang")).cast("long").as("g_lang"),
+        grouping(col("source")).cast("long").as("g_source"))
+      .selectExpr("COALESCE(lang, '(all)') AS lang",
+        "COALESCE(source, '(all)') AS source",
+        "n_docs", "n_chars", "g_lang", "g_source")
+      .orderBy(col("g_lang"), col("g_source"), col("lang"), col("source"))
+
+  val q23Sql: String =
+    """SELECT COALESCE(lang, '(all)') AS lang,
+      |  COALESCE(source, '(all)') AS source,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+      |  CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+      |  CAST(GROUPING(source) AS BIGINT) AS g_source
+      |FROM documents
+      |GROUP BY CUBE (lang, source)
+      |ORDER BY g_lang, g_source, lang, source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_cube" -> (q23Cube _),
     "q22_snapshot_diff" -> (q22SnapshotDiff _),
     "q21_unpivot" -> (q21Unpivot _),
     "q20_funnel" -> (q20Funnel _),
@@ -671,5 +704,6 @@ object Relational {
     "q19_sliding_window" -> q19Sql,
     "q20_funnel" -> q20Sql,
     "q21_unpivot" -> q21Sql,
-    "q22_snapshot_diff" -> q22Sql)
+    "q22_snapshot_diff" -> q22Sql,
+    "q23_cube" -> q23Sql)
 }

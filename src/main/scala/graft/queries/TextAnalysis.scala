@@ -363,7 +363,50 @@ object TextAnalysis {
        |FROM a ORDER BY doc_id""".stripMargin
   }
 
+  /** t10: GRAM-VOCABULARY SATURATION curve — cumulative distinct word
+    * 3-grams as a function of corpus position (doc_id buckets of 50). The
+    * Heaps'-law diagnostic the growth lap (BENCH/BASELINE.md §3b) showed is
+    * load-bearing: a flattening curve means the gram universe is saturating
+    * and exact n-gram joins (d08) are drifting toward their quadratic
+    * regime, so this table is what you READ to pick d02-sketch vs d08-exact
+    * per corpus slice. Plan: one gram explode → min(doc_id) per gram (the
+    * first-occurrence inverted index, map-side combinable) → tiny per-bucket
+    * aggregate + running sum over buckets (the window runs over ~n_docs/50
+    * rows, not the corpus).
+    */
+  def t10VocabSaturation(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr("doc_id", s"explode(array_distinct(${Dedup.wordGramExpr(3)})) AS g")
+      .groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+      .selectExpr("first_doc DIV 50 AS bucket")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_grams"))
+      .selectExpr("bucket", "new_grams",
+        "SUM(new_grams) OVER (ORDER BY bucket " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vocab_size")
+      .orderBy(col("bucket"))
+
+  val t10Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE length(string_split(text, ' ')) >= 3),
+      |series AS (SELECT i FROM generate_series(1, 2048) t(i)),
+      |grams AS (
+      |  SELECT DISTINCT doc_id,
+      |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+      |  FROM docs JOIN series ON i <= length(toks) - 2),
+      |first_seen AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g),
+      |bkt AS (
+      |  SELECT first_doc // 50 AS bucket, COUNT(*) AS new_grams
+      |  FROM first_seen GROUP BY bucket)
+      |SELECT bucket, new_grams,
+      |  CAST(SUM(new_grams) OVER (ORDER BY bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size
+      |FROM bkt ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_vocab_saturation" -> (t10VocabSaturation _),
     "t09_pii_scrub" -> (t09PiiScrub _),
     "t08_unigram_surprisal" -> (t08UnigramSurprisal _),
     "t07_ngram_novelty" -> (t07NgramNovelty _),
@@ -383,5 +426,6 @@ object TextAnalysis {
     "t06_repetition" -> t06Sql,
     "t07_ngram_novelty" -> t07Sql,
     "t08_unigram_surprisal" -> t08Sql,
-    "t09_pii_scrub" -> t09Sql)
+    "t09_pii_scrub" -> t09Sql,
+    "t10_vocab_saturation" -> t10Sql)
 }

@@ -80,6 +80,58 @@ object StreamJobs {
       }
   }
 
+  /** st06: streaming SEQUENCE PACKING — the order-DEPENDENT state machine
+    * (unlike st03's commutative folds): a running token cursor per lang
+    * stream assigns each arriving document to its training sequence
+    * (seq = tokens-before DIV budget, the x02/m07 streaming-pack rule) and
+    * the cursor carries across micro-batches. Order dependence is the
+    * point: this is the append-ordered ingestion contract a continuous
+    * packing job runs under, and StreamJobsSpec proves stream == batch ==
+    * the SQL window truth over REAL ordered micro-batches (doc_id-range
+    * shards, ascending mtimes). Within a batch each group's slice is
+    * sorted by doc_id so a single batch is also internally order-correct.
+    */
+  val PackBudget = 4096L
+
+  case class PackIn(doc_id: Long, lang: String, n_tokens: Long)
+  case class PackCursor(cum: Long)
+  case class PackOut(doc_id: Long, lang: String, n_tokens: Long, seq_idx: Long)
+
+  def packState(docs: Dataset[PackIn]): Dataset[PackOut] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.lang)
+      .flatMapGroupsWithState[PackCursor, PackOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (lang, it, state: GroupState[PackCursor]) =>
+          var cum = state.getOption.map(_.cum).getOrElse(0L)
+          val out = it.toIndexedSeq.sortBy(_.doc_id).map { d =>
+            val seq = cum / PackBudget
+            cum += d.n_tokens
+            PackOut(d.doc_id, lang, d.n_tokens, seq)
+          }
+          state.update(PackCursor(cum))
+          out.iterator
+      }
+  }
+
+  /** Drive the packing state machine as an actual multi-batch stream over a
+    * directory of parquet shards (append mode → memory sink; one output row
+    * per document, so the sink holds the final assignment directly).
+    */
+  def runPackStream(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_tokens", LongType)))
+    val q = packState(spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir).as[PackIn])
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName(queryName).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Run the dedup state machine as an actual multi-batch stream over a
     * directory of parquet shards (Update output mode → memory sink). The
     * sink accumulates one row per (fingerprint, micro-batch touching it);

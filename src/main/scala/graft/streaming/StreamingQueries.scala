@@ -93,7 +93,35 @@ object StreamingQueries {
       |WHERE c.event_type = 'click' AND x.event_type = 'error'
       |ORDER BY click_id, error_id""".stripMargin
 
+  // st06: streaming sequence packing run in batch mode — the same
+  // flatMapGroupsWithState plan the multi-batch stream runs (StreamJobsSpec
+  // proves stream == batch over doc_id-ordered micro-batches); the oracle is
+  // the equivalent per-lang window cumsum, which the in-order cursor matches
+  // by construction.
+  def st06StreamPacking(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .selectExpr("doc_id", "lang",
+        "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens")
+      .as[StreamJobs.PackIn]
+    StreamJobs.packState(docs).toDF()
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("seq_idx"))
+      .orderBy(col("doc_id"))
+  }
+
+  val st06Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang,
+       |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+       |  FROM documents)
+       |SELECT doc_id, lang, n_tokens,
+       |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    // ${StreamJobs.PackBudget} AS BIGINT) AS seq_idx
+       |FROM toks ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st06_stream_packing" -> (st06StreamPacking _),
     "st01_windowed_agg" -> (st01WindowedAgg _),
     "st02_sessionize" -> (st02Sessionize _),
     "st03_stream_dedup" -> (st03StreamDedup _),
@@ -105,5 +133,6 @@ object StreamingQueries {
     "st02_sessionize" -> st02Sql,
     "st03_stream_dedup" -> st03Sql,
     "st04_stream_enrich" -> st04Sql,
-    "st05_stream_stream_join" -> st05Sql)
+    "st05_stream_stream_join" -> st05Sql,
+    "st06_stream_packing" -> st06Sql)
 }

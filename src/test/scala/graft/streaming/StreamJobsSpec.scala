@@ -74,6 +74,45 @@ class StreamJobsSpec extends AnyFunSuite {
     assert(batch.sameElements(truth))
   }
 
+  test("multi-batch streaming packing equals the batch plan and the window truth") {
+    import spark.implicits._
+    // 4 REAL micro-batches staged in doc_id order (contiguous id ranges,
+    // ascending mtimes): packing state is ORDER-DEPENDENT (a running token
+    // cursor per lang), so this is the append-ordered ingestion contract —
+    // and the cursor must carry across batch boundaries (range cuts land
+    // mid-lang-stream by construction).
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "lang",
+        "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens")
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_pack").toString
+    val sorted = docs.orderBy("doc_id").collect()
+    val slice = (sorted.length + 3) / 4
+    for ((rows, i) <- sorted.grouped(slice).zipWithIndex) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pack_shard").toString
+      spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(rows: _*)),
+          docs.schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val target = new java.io.File(dir, f"shard$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, target.toPath)
+      assert(target.setLastModified(1700000000000L + i * 60000L))
+    }
+    def canon(df: org.apache.spark.sql.DataFrame): Array[(Long, String, Long, Long)] =
+      df.select("doc_id", "lang", "n_tokens", "seq_idx")
+        .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    val streamed = canon(StreamJobs.runPackStream(spark, dir, "st06_test"))
+    val batch = canon(StreamingQueries.st06StreamPacking(spark, sfDir))
+    val truth = canon(docs.selectExpr("doc_id", "lang", "n_tokens",
+      "COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id " +
+        s"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), CAST(0 AS BIGINT)) " +
+        s"DIV ${StreamJobs.PackBudget} AS seq_idx"))
+    assert(truth.exists(_._4 > 0), "fixture must cross a sequence boundary")
+    assert(streamed.sameElements(truth))
+    assert(batch.sameElements(truth))
+  }
+
   test("sessionization state equals groupBy aggregation") {
     import spark.implicits._
     val evs = spark.read.parquet(s"$sfDir/events.parquet")
