@@ -426,7 +426,23 @@ object KgOracles {
       s"\nSELECT node AS wd, pr AS pr_e12 FROM p${KgPipeline.Kg17Iters} ORDER BY node"
   }
 
+  /** kg18 oracle: identical per-(module, month) recount + LAG delta over the
+    * dumped triple table.
+    */
+  val kg18Sql: String =
+    s"""WITH m AS (
+       |  SELECT graph_module, substr(event_date, 1, 7) AS month,
+       |    COUNT(*) AS n_triples
+       |  FROM ${t("kg_triples")}
+       |  WHERE event_date IS NOT NULL
+       |  GROUP BY graph_module, month)
+       |SELECT graph_module, month, n_triples,
+       |  CAST(COALESCE(n_triples - LAG(n_triples, 1) OVER (
+       |    PARTITION BY graph_module ORDER BY month), n_triples) AS BIGINT) AS delta
+       |FROM m ORDER BY graph_module, month""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "kg18_monthly_delta" -> kg18Sql,
     "kg17_entity_pagerank" -> kg17Sql,
     "kg16_triple_parity" -> kg16Sql,
     "kg15_entity_cooccurrence" -> kg15Sql,

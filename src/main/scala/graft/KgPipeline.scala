@@ -640,6 +640,28 @@ object KgPipeline {
     }
   }
 
+  /** kg18: MONTH-OVER-MONTH SNAPSHOT DELTA per graph module — the CDC view
+    * of the materialized KG (event_date is the partition key, so each month
+    * is a snapshot increment): triples per (module, month) plus the delta
+    * against the module's previous month (q22's reconciliation shape, on
+    * the KG itself). Dateless triples (enrichment dims) are excluded by the
+    * same rule on both engines. One aggregate over the cached triple leaf +
+    * a lag window over the tiny (module × month) frame.
+    */
+  def kg18MonthlyDelta(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    triples(s, d).toDF()
+      .filter(col("event_date").isNotNull)
+      .selectExpr("graph_module", "substr(event_date, 1, 7) AS month")
+      .groupBy(col("graph_module"), col("month"))
+      .agg(count(lit(1)).as("n_triples"))
+      .withColumn("prev", lag(col("n_triples"), 1)
+        .over(Window.partitionBy("graph_module").orderBy("month")))
+      .selectExpr("graph_module", "month", "n_triples",
+        "coalesce(n_triples - prev, n_triples) AS delta")
+      .orderBy(col("graph_module"), col("month"))
+  }
+
   /** kg16: PIPELINE-FIDELITY PARITY, driver-visible. The kg oracles
     * recompute queries over engine-dumped intermediates, so the triple table
     * itself was until now gated only by ScalaTest (sequential-oracle P/R
@@ -686,6 +708,7 @@ object KgPipeline {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kg18_monthly_delta" -> (kg18MonthlyDelta _),
     "kg17_entity_pagerank" -> (kg17EntityPagerank _),
     "kg16_triple_parity" -> (kg16TripleParity _),
     "kg15_entity_cooccurrence" -> (kg15EntityCooccurrence _),

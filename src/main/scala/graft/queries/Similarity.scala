@@ -324,7 +324,53 @@ object Similarity {
        |ORDER BY f.cid""".stripMargin
   }
 
+  // ---- s05: ANN recall calibration -----------------------------------------
+  /** Measured recall@K of the s02 hyperplane-LSH ANN against the s01
+    * brute-force truth, per query point — the "measure, don't guess"
+    * operator for the similarity family (d09 plays this role for MinHash,
+    * sk04's DKW check for the quantile sketch). At 100 TB you tune NPlanes /
+    * probe counts from exactly this table: recall is a property of the DATA
+    * distribution, not of the formula. Join is on (query, candidate) ids, so
+    * the calibration is insensitive to sub-ulp score jitter; n_approx < K
+    * rows expose starved buckets (the failure mode more planes induces).
+    */
+  def s05AnnRecall(s: SparkSession, d: String): DataFrame = {
+    val truth = s01KnnBrute(s, d).select(col("query_id"), col("cand_id"))
+    val approx = s02AnnLsh(s, d).select(col("query_id"), col("cand_id"))
+      .withColumn("hit", lit(1L))
+    truth.join(approx, Seq("query_id", "cand_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .join(approx.groupBy(col("query_id")).agg(count(lit(1)).as("n_approx")),
+        Seq("query_id"), "left")
+      .selectExpr("query_id", "n_truth",
+        "coalesce(n_approx, CAST(0 AS BIGINT)) AS n_approx", "n_hit",
+        "(1000 * n_hit) DIV n_truth AS recall_e3")
+      .orderBy(col("query_id"))
+  }
+
+  /** Oracle: both sides recomputed verbatim from the s01/s02 oracle SQL as
+    * subqueries, diffed with the identical join+aggregate.
+    */
+  val s05Sql: String =
+    s"""WITH truth AS (SELECT query_id, cand_id FROM ($s01Sql) t1),
+       |approx AS (SELECT query_id, cand_id FROM ($s02Sql) t2),
+       |hits AS (
+       |  SELECT t.query_id, COUNT(*) AS n_truth,
+       |    CAST(SUM(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+       |  FROM truth t LEFT JOIN approx a
+       |    ON t.query_id = a.query_id AND t.cand_id = a.cand_id
+       |  GROUP BY t.query_id),
+       |ac AS (SELECT query_id, COUNT(*) AS n_approx FROM approx GROUP BY query_id)
+       |SELECT h.query_id, n_truth,
+       |  CAST(COALESCE(n_approx, 0) AS BIGINT) AS n_approx, n_hit,
+       |  (1000 * n_hit) // n_truth AS recall_e3
+       |FROM hits h LEFT JOIN ac ON h.query_id = ac.query_id
+       |ORDER BY h.query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s05_ann_recall" -> (s05AnnRecall _),
     "s01_knn_brute" -> (s01KnnBrute _),
     "s02_ann_lsh" -> (s02AnnLsh _),
     "s03_ivf_topk" -> (s03IvfTopk _),
@@ -334,5 +380,6 @@ object Similarity {
     "s01_knn_brute" -> s01Sql,
     "s02_ann_lsh" -> s02Sql,
     "s03_ivf_topk" -> s03Sql,
-    "s04_kmeans_assign" -> s04Sql)
+    "s04_kmeans_assign" -> s04Sql,
+    "s05_ann_recall" -> s05Sql)
 }

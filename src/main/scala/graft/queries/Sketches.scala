@@ -120,17 +120,17 @@ object Sketches {
   // Catalyst's ReuseExchange dedupes — the corpus is scanned once. Cells
   // (768 rows) broadcast back onto the top-k, so the readout adds no
   // corpus-sized shuffle.
-  private val cmsSeeds = 0 until 3
+  private[graft] val cmsSeeds = 0 until 3
 
   /** CMS column of the token expression `tok` in sketch row `k`:
     * first 2 nibbles of md5('c<k>' || tok). `cat` is the engine's string
     * concatenation spelling. */
-  private def cmsCol(k: Int, tok: String, cat: (String, String) => String): String = {
+  private[graft] def cmsCol(k: Int, tok: String, cat: (String, String) => String): String = {
     val h = s"md5(${cat(s"'c$k'", tok)})"
     s"CAST(${nib(h, 1)} * 16 + ${nib(h, 2)} AS BIGINT)"
   }
-  private def sparkCat(a: String, b: String) = s"concat($a, $b)"
-  private def duckCat(a: String, b: String) = s"($a || $b)"
+  private[graft] def sparkCat(a: String, b: String) = s"concat($a, $b)"
+  private[graft] def duckCat(a: String, b: String) = s"($a || $b)"
 
   def sk02CmsHeavyHitters(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -132,6 +132,46 @@ object StreamJobs {
     spark.table(queryName)
   }
 
+  /** st07: COUNT-MIN SKETCH CELLS ON A STREAM — the sketch state (3×256
+    * (row, col) counter cells, sk02's exact hash family) maintained by
+    * Spark's OWN incremental streaming aggregation, no custom state
+    * machine: tokens explode to per-seed cell hits and a groupBy counts
+    * them, so each micro-batch folds into the standing cell counters
+    * exactly the way a 1000-executor tree aggregation (or a cross-cluster
+    * sketch union) merges partial sketches — commutative per-cell sums.
+    * The identical transform runs on a batch frame; StreamJobsSpec proves
+    * the multi-batch stream's final cells equal the batch cells.
+    */
+  def cmsCells(docs: DataFrame): DataFrame = {
+    import graft.queries.Sketches
+    docs.selectExpr("explode(split(text, ' ')) AS tok")
+      .filter(col("tok") =!= "")
+      .selectExpr("inline(array(" + Sketches.cmsSeeds.map(k =>
+        s"named_struct('row_k', CAST($k AS BIGINT), " +
+          s"'col_k', ${Sketches.cmsCol(k, "tok", Sketches.sparkCat)})")
+        .mkString(", ") + "))")
+      .groupBy(col("row_k"), col("col_k"))
+      .agg(count(lit(1)).as("cell_cnt"))
+  }
+
+  /** Drive the CMS cell aggregation as an actual multi-batch stream (Update
+    * mode → memory sink; cell counts are monotone per key, so the final
+    * state per cell is the max over the accumulated updates).
+    */
+  def runCmsStream(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val q = cmsCells(spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir))
+      .writeStream.outputMode(OutputMode.Update()).format("memory")
+      .queryName(queryName).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+      .groupBy(col("row_k"), col("col_k"))
+      .agg(max(col("cell_cnt")).as("cell_cnt"))
+  }
+
   /** Run the dedup state machine as an actual multi-batch stream over a
     * directory of parquet shards (Update output mode → memory sink). The
     * sink accumulates one row per (fingerprint, micro-batch touching it);

@@ -120,7 +120,29 @@ object StreamingQueries {
        |    // ${StreamJobs.PackBudget} AS BIGINT) AS seq_idx
        |FROM toks ORDER BY doc_id""".stripMargin
 
+  // st07: the CMS sketch cells maintained by the native streaming
+  // aggregation, run in batch mode — commutative per-cell sums, so stream,
+  // batch, and the DuckDB per-seed recount converge (StreamJobsSpec).
+  def st07StreamCmsCells(s: SparkSession, d: String): DataFrame =
+    StreamJobs.cmsCells(Tables.documents(s, d))
+      .orderBy(col("row_k"), col("col_k"))
+
+  val st07Sql: String = {
+    import graft.queries.Sketches
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       |hits AS (
+       |  ${Sketches.cmsSeeds.map(k =>
+            s"SELECT CAST($k AS BIGINT) AS row_k, " +
+              s"${Sketches.cmsCol(k, "tok", Sketches.duckCat)} AS col_k " +
+              "FROM toks WHERE tok <> ''").mkString("\n  UNION ALL\n  ")})
+       |SELECT row_k, col_k, COUNT(*) AS cell_cnt
+       |FROM hits GROUP BY row_k, col_k
+       |ORDER BY row_k, col_k""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st07_stream_cms_cells" -> (st07StreamCmsCells _),
     "st06_stream_packing" -> (st06StreamPacking _),
     "st01_windowed_agg" -> (st01WindowedAgg _),
     "st02_sessionize" -> (st02Sessionize _),
@@ -134,5 +156,6 @@ object StreamingQueries {
     "st03_stream_dedup" -> st03Sql,
     "st04_stream_enrich" -> st04Sql,
     "st05_stream_stream_join" -> st05Sql,
-    "st06_stream_packing" -> st06Sql)
+    "st06_stream_packing" -> st06Sql,
+    "st07_stream_cms_cells" -> st07Sql)
 }

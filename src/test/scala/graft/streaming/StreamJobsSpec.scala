@@ -113,6 +113,28 @@ class StreamJobsSpec extends AnyFunSuite {
     assert(batch.sameElements(truth))
   }
 
+  test("multi-batch streaming CMS cells equal the batch sketch state") {
+    import spark.implicits._
+    // 4 round-robin shards: per-cell sums are commutative, so ANY sharding
+    // must converge to the batch cells — the sketch-union property a
+    // cross-cluster merge relies on
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_cms").toString
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+      .repartition(4)
+      .write.mode("overwrite").parquet(dir)
+    assert(spark.read.parquet(dir).inputFiles.length == 4)
+    def canon(df: org.apache.spark.sql.DataFrame): Array[(Long, Long, Long)] =
+      df.select("row_k", "col_k", "cell_cnt").as[(Long, Long, Long)]
+        .collect().sortBy(t => (t._1, t._2))
+    val streamed = canon(StreamJobs.runCmsStream(spark, dir, "st07_test"))
+    val batch = canon(StreamingQueries.st07StreamCmsCells(spark, sfDir))
+    // 31-word vocab × 3 seeds bounds distinct cells at 93; mass = 3× token
+    // occurrences
+    assert(batch.length > 50 && batch.map(_._3).sum > 1000)
+    assert(streamed.sameElements(batch))
+  }
+
   test("sessionization state equals groupBy aggregation") {
     import spark.implicits._
     val evs = spark.read.parquet(s"$sfDir/events.parquet")
