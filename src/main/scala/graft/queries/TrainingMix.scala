@@ -66,6 +66,42 @@ object TrainingMix {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- x08: dedup-aware sampling weights -----------------------------------
+  /** SOFT dedup — the reweighting real pipelines use instead of dropping
+    * duplicates: each document carries weight 1/cluster_size over its d04
+    * BoW-fingerprint cluster, so a cluster contributes ONE document's worth
+    * of sampling mass however many copies exist, without discarding any
+    * (order/recency of copies stays available to the sampler). Exact e6
+    * integer weights; eff_tokens is the deduplicated token mass the mixture
+    * planner (x04/x07) should budget with. One window over the fp partition
+    * — no join, no second scan.
+    */
+  def x08DedupWeights(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, d)
+      .selectExpr("doc_id", "lang", s"${Dedup.bowFp} AS fp", s"$nTok AS n_tokens")
+      .withColumn("group_size", count(lit(1)).over(Window.partitionBy("fp")))
+      .selectExpr("doc_id", "lang", "group_size",
+        "CAST(1000000 AS BIGINT) DIV group_size AS weight_e6",
+        "(n_tokens * (CAST(1000000 AS BIGINT) DIV group_size)) DIV 1000000 AS eff_tokens")
+      .orderBy(col("doc_id"))
+  }
+
+  val x08Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+       |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS group_size
+       |  FROM t)
+       |SELECT doc_id, lang, group_size,
+       |  CAST(1000000 // group_size AS BIGINT) AS weight_e6,
+       |  CAST((n_tokens * (1000000 // group_size)) // 1000000 AS BIGINT) AS eff_tokens
+       |FROM g ORDER BY doc_id""".stripMargin
+
   // ---- x02: token-budget shard packing -------------------------------------
   // Contiguous packing per language stream: docs ordered by doc_id, shard
   // boundary every ShardBudget whitespace tokens (shard = tokens-before DIV
@@ -479,7 +515,8 @@ object TrainingMix {
     "d07_incremental_dedup" -> (d07IncrementalDedup _),
     "x05_zorder_layout" -> (x05ZorderLayout _),
     "x06_leakage_safe_split" -> (x06LeakageSafeSplit _),
-    "x07_capped_mixture" -> (x07CappedMixture _))
+    "x07_capped_mixture" -> (x07CappedMixture _),
+    "x08_dedup_weights" -> (x08DedupWeights _))
 
   val oracleSql: Map[String, String] = Map(
     "x01_stratified_sample" -> x01Sql,
@@ -489,5 +526,6 @@ object TrainingMix {
     "d07_incremental_dedup" -> d07Sql,
     "x05_zorder_layout" -> x05Sql,
     "x06_leakage_safe_split" -> x06Sql,
-    "x07_capped_mixture" -> x07Sql)
+    "x07_capped_mixture" -> x07Sql,
+    "x08_dedup_weights" -> x08Sql)
 }
