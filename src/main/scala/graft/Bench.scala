@@ -56,7 +56,9 @@ object Bench {
       "cache_metrics" -> timed(KgPipeline.kg12MonthlyMetrics(spark, sfDir).count()),
       // the nested spans-array decode kg14/m05/m06 share (the r4 lap's two
       // unexplained outliers were this build hiding inside m05/m06)
-      "cache_corpus" -> timed(KgPipeline.corpusSpans(spark, sfDir).count()))
+      "cache_corpus" -> timed(KgPipeline.corpusSpans(spark, sfDir).count()),
+      // the association-chain self-join kg15/kg17 share
+      "cache_cooc" -> timed(KgPipeline.cooccurrence(spark, sfDir).count()))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> timed(fn(spark, sfDir).count())
     }

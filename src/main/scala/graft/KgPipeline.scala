@@ -39,6 +39,10 @@ object KgPipeline {
   // the treatment the triple/edge/enriched caches got in r4
   private val corpusSpansCache =
     new graft.plans.SessionCache[DataFrame]("kg-corpus-spans")
+  // kg15 (readout), kg17 (PageRank input) and the kg_cooc oracle dump all
+  // need the entity co-occurrence aggregate, whose prologue is the 5-hop
+  // association chain — build it once per (session, sf)
+  private val coocCache = new graft.plans.SessionCache[DataFrame]("kg-cooc")
 
   def triples(spark: SparkSession, sfDir: String): Dataset[Triple] =
     cache.get(spark, sfDir)(Pipeline.materializedTriples(spark, sfDir))
@@ -62,6 +66,7 @@ object KgPipeline {
     enrichedCache.foreachValue(graft.plans.Caches.free(_)); enrichedCache.clear()
     metricsCache.foreachValue(graft.plans.Caches.free(_)); metricsCache.clear()
     corpusSpansCache.foreachValue(graft.plans.Caches.free(_)); corpusSpansCache.clear()
+    coocCache.foreachValue(graft.plans.Caches.free(_)); coocCache.clear()
   }
 
   /** The interleaved corpus, exploded to one row per span with its 1-based
@@ -579,19 +584,27 @@ object KgPipeline {
     */
   val Kg15MaxEntities = 64
 
-  def kg15EntityCooccurrence(s: SparkSession, d: String): DataFrame = {
-    val eventWd = assocChain(s, d, eventsOnly = true).eventWd.distinct()
-      .localCheckpoint(true) // feeds the size guard and both self-join sides
-    val ok = eventWd.join(
-      eventWd.groupBy(col("event")).agg(count(lit(1)).as("k"))
-        .filter(col("k") <= Kg15MaxEntities).select(col("event")),
-      Seq("event"), "left_semi")
-    ok.as("x").join(ok.as("y"),
-        col("x.event") === col("y.event") && col("x.wd") < col("y.wd"))
-      .select(col("x.wd").as("wd_a"), col("y.wd").as("wd_b"))
-      .groupBy(col("wd_a"), col("wd_b")).agg(count(lit(1)).as("n_events"))
-      .orderBy(col("wd_a"), col("wd_b"))
-  }
+  /** The unordered (wd_a, wd_b, n_events) co-occurrence aggregate, cached
+    * per (session, sf) — kg15's readout, kg17's PageRank input and the
+    * kg_cooc oracle dump share ONE association-chain build + self-join.
+    */
+  def cooccurrence(s: SparkSession, d: String): DataFrame =
+    coocCache.get(s, d) {
+      val eventWd = assocChain(s, d, eventsOnly = true).eventWd.distinct()
+        .localCheckpoint(true) // feeds the size guard and both self-join sides
+      val ok = eventWd.join(
+        eventWd.groupBy(col("event")).agg(count(lit(1)).as("k"))
+          .filter(col("k") <= Kg15MaxEntities).select(col("event")),
+        Seq("event"), "left_semi")
+      graft.plans.Caches.leaf(
+        ok.as("x").join(ok.as("y"),
+            col("x.event") === col("y.event") && col("x.wd") < col("y.wd"))
+          .select(col("x.wd").as("wd_a"), col("y.wd").as("wd_b"))
+          .groupBy(col("wd_a"), col("wd_b")).agg(count(lit(1)).as("n_events")))
+    }
+
+  def kg15EntityCooccurrence(s: SparkSession, d: String): DataFrame =
+    cooccurrence(s, d).orderBy(col("wd_a"), col("wd_b"))
 
   /** kg17: ENTITY SALIENCE — weighted PageRank over the kg15 co-occurrence
     * graph (the standard KG-analytics ranking: which entities anchor the
@@ -609,7 +622,7 @@ object KgPipeline {
   val Kg17Iters = 8
 
   def kg17EntityPagerank(s: SparkSession, d: String): DataFrame = {
-    val cooc = kg15EntityCooccurrence(s, d)
+    val cooc = cooccurrence(s, d)
       .select(col("wd_a"), col("wd_b"), col("n_events"))
     val edges = cooc.selectExpr("wd_a AS src", "wd_b AS dst", "n_events AS w")
       .unionAll(cooc.selectExpr("wd_b AS src", "wd_a AS dst", "n_events AS w"))
