@@ -414,7 +414,126 @@ object Sketches {
       |       THEN 1 ELSE 0 END AS within_bound
       |FROM err ORDER BY l_returnflag, quantile_k""".stripMargin
 
+  // ---- sk05: HLL SET ALGEBRA across streams --------------------------------
+  /** Distinct-user cardinalities of unions and intersections BETWEEN event
+    * types, computed from per-type HLL register vectors — the sketch-algebra
+    * primitive of a sharded corpus: union is the elementwise register MAX
+    * (the exact operation a cross-cluster merge applies), intersection the
+    * inclusion-exclusion residual. sk01's integer raw-estimate formula, so
+    * the whole table is hash-exact; exact inclusion-exclusion counts ride
+    * along per pair as the calibration truth (the d09/s05/sk04 pattern).
+    * Plan: one scan → per-(type, bucket) max, a dense types×256 frame, a
+    * bucket-aligned pair self-join over 256×pairs rows (tiny), and one
+    * broadcast pair dim for the exact side. At 100 TB only the first
+    * aggregate touches the corpus; everything after runs on fixed-size
+    * sketch state.
+    */
+  def sk05HllSetOps(s: SparkSession, d: String): DataFrame = {
+    val h = "md5(CAST(user_id AS STRING))"
+    val ev = Tables.events(s, d)
+    val per = ev.selectExpr("event_type",
+      s"CAST(${nib(h, 1)} * 16 + ${nib(h, 2)} AS BIGINT) AS bucket",
+      s"CAST(${hllV32(h)} AS BIGINT) AS v")
+      .selectExpr("event_type", "bucket",
+        "CASE WHEN v = 0 THEN 33L ELSE CAST(33 - length(bin(v)) AS BIGINT) END AS rho")
+      .groupBy(col("event_type"), col("bucket")).agg(max(col("rho")).as("r"))
+    val types = ev.select(col("event_type")).distinct()
+    val regs = types.crossJoin(s.range(256).toDF("bucket"))
+      .join(per, Seq("event_type", "bucket"), "left")
+      .select(col("event_type"), col("bucket"),
+        coalesce(col("r"), lit(0L)).as("register"))
+      .localCheckpoint(true) // both sides of the bucket-aligned pair join
+    val pairSums = regs.as("a").join(regs.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.event_type") < col("b.event_type"))
+      .selectExpr("a.event_type AS ta", "b.event_type AS tb",
+        "shiftleft(CAST(1 AS BIGINT), CAST(33 - a.register AS INT)) AS pa",
+        "shiftleft(CAST(1 AS BIGINT), CAST(33 - b.register AS INT)) AS pb",
+        "shiftleft(CAST(1 AS BIGINT), CAST(33 - greatest(a.register, b.register) AS INT)) AS pu")
+      .groupBy(col("ta"), col("tb"))
+      .agg(sum(col("pa")).as("sa"), sum(col("pb")).as("sb"), sum(col("pu")).as("su"))
+    val est = pairSums.selectExpr("ta", "tb",
+      "CAST(47072 AS BIGINT) * 8589934592 DIV sa AS est_a",
+      "CAST(47072 AS BIGINT) * 8589934592 DIV sb AS est_b",
+      "CAST(47072 AS BIGINT) * 8589934592 DIV su AS est_union")
+    val userTypes = ev.select(col("user_id"), col("event_type")).distinct()
+      .localCheckpoint(true) // per-type counts + the pair union counts
+    val exactPer = userTypes.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+    val pairDim = est.select(col("ta"), col("tb"))
+    val exactUnion = userTypes.join(broadcast(pairDim),
+        col("event_type") === col("ta") || col("event_type") === col("tb"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(countDistinct(col("user_id")).as("exact_union"))
+    est
+      .join(broadcast(exactPer.select(col("event_type").as("ta"), col("n").as("exact_a"))), Seq("ta"))
+      .join(broadcast(exactPer.select(col("event_type").as("tb"), col("n").as("exact_b"))), Seq("tb"))
+      .join(exactUnion, Seq("ta", "tb"))
+      .selectExpr("ta", "tb", "est_a", "est_b", "est_union",
+        "est_a + est_b - est_union AS est_inter",
+        "exact_a", "exact_b", "exact_union",
+        "exact_a + exact_b - exact_union AS exact_inter")
+      .orderBy(col("ta"), col("tb"))
+  }
+
+  val sk05Sql: String = {
+    val h = "md5(CAST(user_id AS VARCHAR))"
+    s"""WITH per AS (
+       |  SELECT event_type,
+       |    CAST(${nib(h, 1)} * 16 + ${nib(h, 2)} AS BIGINT) AS bucket,
+       |    CAST(${hllV32(h)} AS BIGINT) AS v
+       |  FROM events),
+       |rho AS (
+       |  SELECT event_type, bucket,
+       |    CASE WHEN v = 0 THEN CAST(33 AS BIGINT)
+       |         ELSE CAST(33 - length(bin(v)) AS BIGINT) END AS rho
+       |  FROM per),
+       |regs0 AS (
+       |  SELECT event_type, bucket, MAX(rho) AS r
+       |  FROM rho GROUP BY event_type, bucket),
+       |frame AS (
+       |  SELECT t.event_type, CAST(g.generate_series AS BIGINT) AS bucket
+       |  FROM (SELECT DISTINCT event_type FROM events) t,
+       |       generate_series(0, 255) g),
+       |regs AS (
+       |  SELECT f.event_type, f.bucket, CAST(COALESCE(r.r, 0) AS BIGINT) AS register
+       |  FROM frame f LEFT JOIN regs0 r
+       |    ON f.event_type = r.event_type AND f.bucket = r.bucket),
+       |sums AS (
+       |  SELECT a.event_type AS ta, b.event_type AS tb,
+       |    CAST(SUM(CAST(1 AS BIGINT) << CAST(33 - a.register AS INT)) AS BIGINT) AS sa,
+       |    CAST(SUM(CAST(1 AS BIGINT) << CAST(33 - b.register AS INT)) AS BIGINT) AS sb,
+       |    CAST(SUM(CAST(1 AS BIGINT) << CAST(33 - greatest(a.register, b.register) AS INT)) AS BIGINT) AS su
+       |  FROM regs a JOIN regs b
+       |    ON a.bucket = b.bucket AND a.event_type < b.event_type
+       |  GROUP BY ta, tb),
+       |est AS (
+       |  SELECT ta, tb,
+       |    CAST(47072 AS BIGINT) * 8589934592 // sa AS est_a,
+       |    CAST(47072 AS BIGINT) * 8589934592 // sb AS est_b,
+       |    CAST(47072 AS BIGINT) * 8589934592 // su AS est_union
+       |  FROM sums),
+       |ut AS (SELECT DISTINCT user_id, event_type FROM events),
+       |exact_per AS (
+       |  SELECT event_type, COUNT(DISTINCT user_id) AS n FROM ut GROUP BY event_type),
+       |exact_union AS (
+       |  SELECT e.ta, e.tb, COUNT(DISTINCT u.user_id) AS exact_union
+       |  FROM est e JOIN ut u
+       |    ON u.event_type = e.ta OR u.event_type = e.tb
+       |  GROUP BY e.ta, e.tb)
+       |SELECT e.ta, e.tb, est_a, est_b, est_union,
+       |  est_a + est_b - est_union AS est_inter,
+       |  pa.n AS exact_a, pb.n AS exact_b, x.exact_union,
+       |  pa.n + pb.n - x.exact_union AS exact_inter
+       |FROM est e
+       |JOIN exact_per pa ON pa.event_type = e.ta
+       |JOIN exact_per pb ON pb.event_type = e.tb
+       |JOIN exact_union x ON x.ta = e.ta AND x.tb = e.tb
+       |ORDER BY e.ta, e.tb""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sk05_hll_set_ops" -> (sk05HllSetOps _),
     "sk01_hll_distinct" -> (sk01HllDistinct _),
     "sk02_cms_heavy_hitters" -> (sk02CmsHeavyHitters _),
     "sk03_bloom_filter" -> (sk03BloomFilter _),
@@ -424,5 +543,6 @@ object Sketches {
     "sk01_hll_distinct" -> sk01Sql,
     "sk02_cms_heavy_hitters" -> sk02Sql,
     "sk03_bloom_filter" -> sk03Sql,
-    "sk04_quantile_sketch" -> sk04Sql)
+    "sk04_quantile_sketch" -> sk04Sql,
+    "sk05_hll_set_ops" -> sk05Sql)
 }
