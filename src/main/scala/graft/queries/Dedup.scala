@@ -847,7 +847,43 @@ object Dedup {
       |  CAST(MAX(run_len) + 4 AS BIGINT) AS longest_span_tokens
       |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- d11: duplicate CLUSTERS from pair evidence --------------------------
+  /** The dedup endgame: pairwise near-dup evidence (d02's verified LSH
+    * pairs) resolved into connected duplicate CLUSTERS with a canonical
+    * keeper per cluster — the table a corpus builder actually filters by
+    * (transitivity matters: A~B and B~C must drop to ONE keeper even when
+    * A~C was never emitted as a pair). Pointer-jumping connected components
+    * (graft.canon, O(log diameter) rounds) over the pair set, then one size
+    * aggregate; the DuckDB oracle re-derives the same clusters with a
+    * recursive min-label CTE over the d02 oracle SQL recomputed verbatim —
+    * two independent algorithms, one fixpoint.
+    */
+  def d11DupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = d02LshPairs(s, d).select(col("a"), col("b"))
+    val cc = graft.canon.ConnectedComponents.run(pairs)
+    val sizes = cc.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, Seq("comp"))
+      .selectExpr("node AS doc_id", "comp AS cluster_id", "cluster_size",
+        "CASE WHEN node = comp THEN 1L ELSE 0L END AS is_keeper")
+      .orderBy(col("doc_id"))
+  }
+
+  val d11Sql: String =
+    s"""WITH RECURSIVE
+       |dpairs AS (SELECT a AS u, b AS v FROM ($d02Sql) t),
+       |sym AS (SELECT u, v FROM dpairs UNION SELECT v AS u, u AS v FROM dpairs),
+       |reach AS (SELECT u AS node, u AS lab FROM sym
+       |          UNION
+       |          SELECT s.u AS node, r.lab FROM sym s JOIN reach r ON s.v = r.node),
+       |cc AS (SELECT node, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+       |sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id)
+       |SELECT node AS doc_id, cluster_id, cluster_size,
+       |  CAST(CASE WHEN node = cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+       |FROM cc JOIN sizes USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d11_dup_clusters" -> (d11DupClusters _),
     "d10_duplicate_spans" -> (d10DuplicateSpans _),
     "d09_minhash_calibration" -> (d09MinhashCalibration _),
     "d01_minhash_signatures" -> (d01MinhashSignatures _),
@@ -867,5 +903,6 @@ object Dedup {
     "d06_embedding_neardup" -> d06Sql,
     "d08_ngram_jaccard" -> d08Sql,
     "d09_minhash_calibration" -> d09Sql,
-    "d10_duplicate_spans" -> d10Sql)
+    "d10_duplicate_spans" -> d10Sql,
+    "d11_dup_clusters" -> d11Sql)
 }
