@@ -63,6 +63,17 @@ object KgPipeline {
   def release(): Unit = {
     cache.foreachValue(graft.plans.Caches.free(_)); cache.clear()
     edgeCache.foreachValue(graft.plans.Caches.free(_)); edgeCache.clear()
+    // exact-path cleanup of every pred-layout dir this JVM wrote (covers
+    // custom graft.edges.predDir values the substring match in Caches.free
+    // would miss; double-deletion of the default dirs is a no-op)
+    predDirsWritten.forEach { p =>
+      try {
+        val path = new org.apache.hadoop.fs.Path(p)
+        path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          .delete(path, true)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+    predDirsWritten.clear()
     enrichedCache.foreachValue(graft.plans.Caches.free(_)); enrichedCache.clear()
     metricsCache.foreachValue(graft.plans.Caches.free(_)); metricsCache.clear()
     corpusSpansCache.foreachValue(graft.plans.Caches.free(_)); corpusSpansCache.clear()
@@ -133,20 +144,32 @@ object KgPipeline {
     *    source and survives executor loss); measured against `leaf` in
     *    BENCH/BASELINE.md §edge-layout.
     */
+  // every pred-layout directory this JVM wrote, deleted BY EXACT PATH on
+  // release() (r6 ADVICE: the Caches.free substring match silently leaked
+  // dirs under a custom graft.edges.predDir)
+  private val predDirsWritten =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def edges(spark: SparkSession, sfDir: String): DataFrame =
     edgeCache.get(spark, sfDir) {
       val base = triples(spark, sfDir)
         .filter(col("pred").isin(EdgePreds: _*))
         .select(col("subj"), col("pred"), col("obj")).distinct()
       if (spark.conf.get("graft.edges.layout", "pred") == "pred") {
-        // dir is keyed by (sf, session): two live sessions on the same sf
-        // must not overwrite each other's files mid-read. Caches.free
-        // deletes the directory on releaseAll.
+        // dir is keyed by (sf, session, PROCESS): two live sessions on the
+        // same sf must not overwrite each other's files mid-read, and —
+        // r6 ADVICE (medium) — identity hashes are reproducible across JVMs
+        // (fixed HotSpot PRNG seed), so two CONCURRENT JVMs on the same sf
+        // (the multi-JVM bench workflow) could resolve to the same dir and
+        // overwrite each other's parquet files mid-read without the pid
+        // component. Caches.free / release() delete the directory.
         val dir = spark.conf.get("graft.edges.predDir",
           sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-edge-cache") +
           "/" + java.lang.Integer.toHexString(sfDir.hashCode) +
-          "-" + java.lang.Integer.toHexString(System.identityHashCode(spark))
+          "-" + java.lang.Integer.toHexString(System.identityHashCode(spark)) +
+          "-p" + ProcessHandle.current().pid()
         base.write.mode("overwrite").partitionBy("pred").parquet(dir)
+        predDirsWritten.add(dir)
         // partition values round-trip URL-escaped directory names; the
         // select restores the (subj, pred, obj) column order the leaf
         // layout exposes. EdgeLayoutSpec asserts frame equality.
@@ -191,8 +214,13 @@ object KgPipeline {
   // month (create_events_per_month_diagram.py:31-38) — fixpoint iterative join
   def kg04ClosureEventsPerMonth(s: SparkSession, d: String): DataFrame = {
     val t = edges(s, d) // date-deduped once, shared across kg02-kg08
+    // materialized once: the closure loop joins `during` EVERY round, and an
+    // unmaterialized projection re-opened the edge parquet per round (a
+    // pruned but still per-round scan; at 100 TB that is rounds × a
+    // partition read). One small leaf instead (r6).
     val during = t.filter(col("pred") === edgePred(Ns.COY + "isOccuringDuring"))
       .select(col("subj").as("child"), col("obj").as("parent"))
+      .localCheckpoint(true)
     // seed: the most-referenced parent topic (deterministic). Materialized
     // HERE, before Reach.closure's AQE-off window: this groupBy + global
     // sort runs over the full edge set — the one non-tiny frame of the
@@ -590,6 +618,13 @@ object KgPipeline {
     */
   def cooccurrence(s: SparkSession, d: String): DataFrame =
     coocCache.get(s, d) {
+      // Shape kept AS-IS after measurement (r6, BenchExtra `cooc` probe): a
+      // window-based k-guard (count OVER (PARTITION BY event), no barrier,
+      // self-join sides sharing one ReusedExchange) measured 5.3 s vs 1.5 s
+      // for this checkpoint + semi-join shape — the window executes once
+      // per self-join side above the reused exchange, so the "fewer
+      // barriers" plan loses. The leaf is tiny (distinct (event, wd)
+      // associations) and both self-join sides read its blocks.
       val eventWd = assocChain(s, d, eventsOnly = true).eventWd.distinct()
         .localCheckpoint(true) // feeds the size guard and both self-join sides
       val ok = eventWd.join(

@@ -146,6 +146,9 @@ object QueryTimer {
       for (n <- qs; fn <- SparkEntry.queries.get(n); r <- 1 to 2)
         t(s"[$layout rep$rep] $n run$r")(fn(s, d).count())
     }
+    // free the per-session caches AND their pred-layout parquet dirs — each
+    // probe run used to strand two dirs in /tmp (r6 ADVICE)
+    KgPipeline.release()
   }
 
   /** Sub-step timings for the iterative kg queries. */

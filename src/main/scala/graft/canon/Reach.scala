@@ -49,7 +49,15 @@ object Reach {
             s"Reach.closure exceeded $maxRounds productive rounds — the edge " +
               "graph is deeper than any sane topic nesting; refusing to " +
               "return a silently truncated closure")
-          reach = reach.union(next).localCheckpoint(true); frontier = next
+          // accumulate as a UNION OF LEAVES (every `next` is already a
+          // checkpointed leaf, so nothing recomputes); checkpoint the union
+          // only every 8th round to bound plan width — r6: the former
+          // per-round union checkpoint was one full job per round, a third
+          // of the loop's job count, purely to re-materialize rows that
+          // were all in blocks already
+          reach = reach.union(next)
+          if (productive % 8 == 0) reach = reach.localCheckpoint(true)
+          frontier = next
         }
       }
       graft.plans.Meters.set("reach.rounds", productive.toLong)

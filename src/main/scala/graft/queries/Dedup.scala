@@ -136,6 +136,29 @@ object Dedup {
     */
   private[queries] val BucketGuard = 50
 
+  // the rep-level banded candidate self-join, materialized once per
+  // (session, sf): d02 and d09 consume the identical candidate population
+  // (that is d09's calibration contract), and before r6 each re-executed the
+  // bucket-bound + self-join chain inside its own plan
+  private val bandPairsCache =
+    new graft.plans.SessionCache[DataFrame]("dedup-band-pairs")
+
+  /** [[boundedBandPairs]] over the shared prologue, distinct, as a
+    * materialized leaf — the one candidate population d02 and d09 share.
+    */
+  private[graft] def bandPairsLeaf(s: SparkSession, d: String): DataFrame =
+    bandPairsCache.get(s, d) {
+      boundedBandPairs(prologue(s, d).sigs).distinct().localCheckpoint(true)
+    }
+
+  // d02's VERIFIED top-100 pair table, materialized once per (session, sf):
+  // the shingle-verification joins are the expensive half of d02, and d11
+  // (cluster resolution over exactly these pairs) previously re-executed
+  // them inside its own plan — the whole candidate+verify chain ran twice
+  // per lap and would run twice at 100 TB too (r5 verdict item 1)
+  private val verifiedPairsCache =
+    new graft.plans.SessionCache[DataFrame]("dedup-d02-pairs")
+
   /** Rep-level LSH candidate pairs (a < b) from the guard-bounded banding —
     * the single definition of "d02's candidate population", shared with d09.
     */
@@ -175,35 +198,48 @@ object Dedup {
       p.groups.unpersist(blocking = false)
     }
     prologueCache.clear()
+    bandPairsCache.foreachValue(graft.plans.Caches.free(_))
+    bandPairsCache.clear()
+    verifiedPairsCache.foreachValue(graft.plans.Caches.free(_))
+    verifiedPairsCache.clear()
   }
 
-  def d02LshPairs(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .filter(size(split(col("text"), " ")) >= 3)
-    val pro = prologue(s, d)
-    // cand and sh each feed multiple joins below — eagerly checkpoint so the
-    // verification joins read blocks, not recompute lineage (blocks are
-    // GC-cleaned with the frames once the query's consumers finish). cand is
-    // O(candidate pairs); sh is restricted to docs that appear in a
-    // candidate pair BEFORE the shingle explode, so it is O(candidate docs'
-    // shingles), not O(corpus). Dropped mega-bucket volume is reported by
-    // d05_lsh_bucket_stats.
-    val cand = boundedBandPairs(pro.sigs)
-      .unionByName(pro.groupPairs) // exact/BoW members ↔ canonical rep
-      .distinct()
-      .localCheckpoint(true)
-    val candDocs = cand.selectExpr("explode(array(a, b)) AS doc_id").distinct()
-    // distinct word-3-gram sets of candidate docs only
-    val sh = docs.join(candDocs, Seq("doc_id"), "left_semi")
-      .selectExpr("doc_id", "split(text, ' ') AS toks")
-      .selectExpr("doc_id", s"explode(array_distinct($shingle3)) AS sh")
-      .localCheckpoint(true)
-    pairOverlap(cand, sh)
-      .selectExpr("a", "b",
-        "(1000 * n_common) DIV (na + nb - n_common) AS jaccard_e3")
+  /** d02's result rows (top-100 verified pairs), materialized as a leaf —
+    * consumed by d02 (ordered readout) and d11 (cluster resolution).
+    */
+  private[graft] def verifiedPairs(s: SparkSession, d: String): DataFrame =
+    verifiedPairsCache.get(s, d) {
+      val docs = Tables.documents(s, d)
+        .filter(size(split(col("text"), " ")) >= 3)
+      val pro = prologue(s, d)
+      // cand and sh each feed multiple joins below — eagerly checkpoint so
+      // the verification joins read blocks, not recompute lineage (blocks
+      // are GC-cleaned with the frames once the query's consumers finish).
+      // cand is O(candidate pairs); sh is restricted to docs that appear in
+      // a candidate pair BEFORE the shingle explode, so it is O(candidate
+      // docs' shingles), not O(corpus). Dropped mega-bucket volume is
+      // reported by d05_lsh_bucket_stats.
+      val cand = bandPairsLeaf(s, d) // shared with d09
+        .unionByName(pro.groupPairs) // exact/BoW members ↔ canonical rep
+        .distinct()
+        .localCheckpoint(true)
+      val candDocs = cand.selectExpr("explode(array(a, b)) AS doc_id").distinct()
+      // distinct word-3-gram sets of candidate docs only
+      val sh = docs.join(candDocs, Seq("doc_id"), "left_semi")
+        .selectExpr("doc_id", "split(text, ' ') AS toks")
+        .selectExpr("doc_id", s"explode(array_distinct($shingle3)) AS sh")
+        .localCheckpoint(true)
+      pairOverlap(cand, sh)
+        .selectExpr("a", "b",
+          "(1000 * n_common) DIV (na + nb - n_common) AS jaccard_e3")
+        .orderBy(col("jaccard_e3").desc, col("a"), col("b"))
+        .limit(100)
+        .localCheckpoint(true)
+    }
+
+  def d02LshPairs(s: SparkSession, d: String): DataFrame =
+    verifiedPairs(s, d)
       .orderBy(col("jaccard_e3").desc, col("a"), col("b"))
-      .limit(100)
-  }
 
   // shared SQL prologue: docs, BoW groups, representatives, band signatures
   private val lshPrologueSql: String = {
@@ -724,8 +760,9 @@ object Dedup {
       .filter(size(split(col("text"), " ")) >= 3)
     val pro = prologue(s, d)
     val sigs = pro.sigs
-    val cand = boundedBandPairs(sigs).distinct()
-      .localCheckpoint(true) // feeds agree, candDocs and the final join
+    // the shared band-pair leaf (built once, reused by d02) feeds agree,
+    // candDocs and the final join
+    val cand = bandPairsLeaf(s, d)
     val agree = cand.join(sigs.as("sa"), col("a") === col("sa.doc_id"))
       .join(sigs.as("sb"), col("b") === col("sb.doc_id") &&
         col("sa.band") === col("sb.band"))
@@ -859,7 +896,11 @@ object Dedup {
     * two independent algorithms, one fixpoint.
     */
   def d11DupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = d02LshPairs(s, d).select(col("a"), col("b"))
+    // d02's materialized verified-pair leaf — the candidate generation and
+    // shingle-verification joins run ONCE per (session, sf), not once per
+    // consumer (r5 verdict item 1: the lap previously paid the whole d02
+    // chain a second time inside this query)
+    val pairs = verifiedPairs(s, d).select(col("a"), col("b"))
     val cc = graft.canon.ConnectedComponents.run(pairs)
     val sizes = cc.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
     cc.join(sizes, Seq("comp"))

@@ -437,9 +437,13 @@ object Sketches {
       .selectExpr("event_type", "bucket",
         "CASE WHEN v = 0 THEN 33L ELSE CAST(33 - length(bin(v)) AS BIGINT) END AS rho")
       .groupBy(col("event_type"), col("bucket")).agg(max(col("rho")).as("r"))
-    val types = ev.select(col("event_type")).distinct()
+    // type universe from the aggregated per-type frame (every event
+    // contributes a `per` row, so the distinct type set is identical) —
+    // saves a third full scan of events; `per` is types×256 rows at most
+    val perLeaf = per.localCheckpoint(true) // feeds types + the regs join
+    val types = perLeaf.select(col("event_type")).distinct()
     val regs = types.crossJoin(s.range(256).toDF("bucket"))
-      .join(per, Seq("event_type", "bucket"), "left")
+      .join(perLeaf, Seq("event_type", "bucket"), "left")
       .select(col("event_type"), col("bucket"),
         coalesce(col("r"), lit(0L)).as("register"))
       .localCheckpoint(true) // both sides of the bucket-aligned pair join

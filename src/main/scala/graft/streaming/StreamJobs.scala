@@ -90,6 +90,14 @@ object StreamJobs {
     * the SQL window truth over REAL ordered micro-batches (doc_id-range
     * shards, ascending mtimes). Within a batch each group's slice is
     * sorted by doc_id so a single batch is also internally order-correct.
+    *
+    * MEMORY BOUND (r6 ADVICE): `it.toIndexedSeq.sortBy` buffers one group's
+    * slice of ONE MICRO-BATCH per task — bounded by the micro-batch size
+    * (maxFilesPerTrigger / maxBytesPerTrigger on a real source), never the
+    * whole stream. This state machine is STREAM-ONLY: the batch
+    * driver-contract entry (StreamingQueries.st06StreamPacking) computes
+    * the identical assignment with a two-pass hierarchical window instead
+    * of routing the full corpus through per-lang groups.
     */
   val PackBudget = 4096L
 
