@@ -50,33 +50,75 @@ object BenchExtra {
   private def noop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Input-bytes/records accumulator keyed by job description — makes the
+    * edge-layout source-prune claim a NUMBER per query (r5 VERDICT item 7:
+    * the frozen Bench can't carry it, so the extra lap does).
+    */
+  private final class InputMeter extends org.apache.spark.scheduler.SparkListener {
+    val bytes = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    @volatile var label: String = "warmup"
+    override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val in = e.taskMetrics
+      if (in != null)
+        bytes.merge(label, in.inputMetrics.bytesRead, (a, b) => a + b)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = session()
     if (args.headOption.contains("cooc")) { probeCooc(spark, sfDir); spark.stop(); return }
+    if (args.headOption.contains("kg16")) {
+      // split kg16 into its two halves: the driver-side sequential oracle
+      // re-derivation vs the distributed diff
+      KgPipeline.triples(spark, sfDir).count()
+      val t0 = System.nanoTime()
+      val n = kg.SequentialOracle.expectedTriples(kg.Synth.paramsFor(sfDir)).size
+      println(f"[kg16] sequential oracle: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n triples)")
+      val t1 = System.nanoTime()
+      KgPipeline.kg16TripleParity(spark, sfDir).count()
+      println(f"[kg16] full query (oracle + diff): ${(System.nanoTime() - t1) / 1e9}%.2f s")
+      spark.stop(); return
+    }
     val sc = spark.sparkContext
+    val meter = new InputMeter
+    sc.addSparkListener(meter)
     // same shared-cache hoist as Bench, each build on its own line
+    def metered(label: String)(f: => Unit): Double = {
+      meter.label = label
+      try timed(f) finally meter.label = "warmup"
+    }
     val builds = Seq(
-      "cache_triples" -> timed(KgPipeline.triples(spark, sfDir).count()),
-      "cache_edges" -> timed(KgPipeline.edges(spark, sfDir).count()),
-      "cache_enriched" -> timed(KgPipeline.enriched(spark, sfDir).count()),
-      "cache_metrics" -> timed(KgPipeline.kg12MonthlyMetrics(spark, sfDir).count()),
-      "cache_corpus" -> timed(KgPipeline.corpusSpans(spark, sfDir).count()),
-      "cache_cooc" -> timed(KgPipeline.cooccurrence(spark, sfDir).count()))
+      "cache_triples" -> metered("cache_triples")(KgPipeline.triples(spark, sfDir).count()),
+      "cache_edges" -> metered("cache_edges")(KgPipeline.edges(spark, sfDir).count()),
+      "cache_enriched" -> metered("cache_enriched")(KgPipeline.enriched(spark, sfDir).count()),
+      "cache_metrics" -> metered("cache_metrics")(KgPipeline.kg12MonthlyMetrics(spark, sfDir).count()),
+      "cache_corpus" -> metered("cache_corpus")(KgPipeline.corpusSpans(spark, sfDir).count()),
+      "cache_cooc" -> metered("cache_cooc")(KgPipeline.cooccurrence(spark, sfDir).count()))
     val names =
       if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     val rows = names.map { n =>
       val fn = SparkEntry.queries.getOrElse(n,
         sys.error(s"BenchExtra names an unknown query: $n"))
       sc.setJobDescription(s"noop: $n")
-      val t = timed(noop(fn(spark, sfDir)))
+      val t = metered(n)(noop(fn(spark, sfDir)))
       sc.setJobDescription(null)
       n -> t
     }
     val qs = (builds ++ rows).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"noop_total","value":${
-      (builds ++ rows).map(_._2).filter(_ >= 0).sum},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val bs = (builds ++ rows).map { case (k, _) =>
+      s"\"" + k + "\":" + meter.bytes.getOrDefault(k, 0L) }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"noop_total","value":${
+      (builds ++ rows).map(_._2).filter(_ >= 0).sum
+    },"unit":"sec","queries":$qs,"input_bytes":$bs,"sf":"$sfDir"}"""
+    println(line)
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("BENCH"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH/bench_extra_last.json"), line + "\n")
+    } catch { case _: Throwable => () }
     KgPipeline.release()
     graft.queries.Dedup.release()
     spark.stop()

@@ -83,6 +83,11 @@ object GrowthLab {
     println(s"[growth] g01_cc_rounds: ${plans.Meters.get("cc.rounds").getOrElse(-1L)}")
     t("g05_full")(queries.Graph.queries("g05_sssp")(spark, dir).count())
     println(s"[growth] g05_sssp_rounds: ${plans.Meters.get("sssp.rounds").getOrElse(-1L)}")
+    // r5/r6 loop+window operators (r5 VERDICT item 4)
+    t("d10_full")(queries.Dedup.d10DuplicateSpans(spark, dir).count())
+    t("d11_full")(queries.Dedup.d11DupClusters(spark, dir).count())
+    println(s"[growth] d11_cc_rounds: ${plans.Meters.get("cc.rounds").getOrElse(-1L)}")
+    t("st06_full")(streaming.StreamingQueries.st06StreamPacking(spark, dir).count())
     queries.Dedup.release()
   }
 
@@ -98,6 +103,11 @@ object GrowthLab {
     println(s"[growth] kg04_reach_rounds: ${plans.Meters.get("reach.rounds").getOrElse(-1L)}")
     t("kg08_full")(KgPipeline.kg08CanonicalClusters(spark, dir).count())
     println(s"[growth] kg08_cc_rounds: ${plans.Meters.get("cc.rounds").getOrElse(-1L)}")
+    // r5/r6 loop+window operators (r5 VERDICT item 4)
+    t("kg15_cooc_build")(KgPipeline.cooccurrence(spark, dir).count())
+    t("kg17_full")(KgPipeline.kg17EntityPagerank(spark, dir).count())
+    t("cache_corpus_build")(KgPipeline.corpusSpans(spark, dir).count())
+    t("m07_full")(multimodal.Multimodal.m07SequencePacking(spark, dir).count())
     KgPipeline.release()
   }
 

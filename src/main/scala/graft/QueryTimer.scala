@@ -17,6 +17,8 @@ object QueryTimer {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "false")) // match Bench
+      .config("graft.loop.shufflePartitions", // match Bench's loop width —
+        math.min(8, cpus.toInt).toString) // without it loop timings read 3-4x high
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

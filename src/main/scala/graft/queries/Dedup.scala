@@ -175,21 +175,27 @@ object Dedup {
   }
 
   /** (a, b, n_common, na, nb): distinct-item overlap of candidate pairs over
-    * a (doc_id, sh) item frame — the shared exact-verification join of d02
-    * (word 3-grams) and d09 (char 8-gram shingles). `sh` must cover every
-    * doc in `cand` and be checkpointed by the caller (multiple consumers).
+    * a (doc_id, gs ARRAY&lt;STRING&gt; of DISTINCT items) frame — the shared
+    * exact-verification step of d02 (word 3-grams) and d09 (char 8-gram
+    * shingles). r6 REWRITE: overlap is computed IN-ROW via array_intersect
+    * over the two attached arrays (d06's dense-vector-verify pattern). The
+    * former shape exploded every candidate doc's items and equi-joined the
+    * (doc, item) frame against itself per pair — an O(candidate docs ×
+    * items-per-doc) shuffle executed twice plus a groupBy, the dominant
+    * cost of d02 (probeD02). Per-pair work is O(na + nb) with NO shuffle
+    * beyond attaching the arrays; row width is bounded by one document's
+    * distinct-gram set, the same per-row bound d06's 64-slot vectors and
+    * x03's gram arrays already rely on. `gs` must be distinct per doc and
+    * cover every doc in `cand`; counts are identical to the exploded join
+    * (|A ∩ B| over distinct sets), DedupSpec's brute-force gates prove it.
     */
-  private def pairOverlap(cand: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val common = cand
-      .join(sh.as("sa"), col("a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_common"))
-    cand.join(common, Seq("a", "b"), "left")
-      .na.fill(0L, Seq("n_common"))
-      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), Seq("a"))
-      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), Seq("b"))
-  }
+  private def pairOverlap(cand: DataFrame, garr: DataFrame): DataFrame =
+    cand
+      .join(garr.select(col("doc_id").as("a"), col("gs").as("ga")), Seq("a"))
+      .join(garr.select(col("doc_id").as("b"), col("gs").as("gb")), Seq("b"))
+      .selectExpr("a", "b",
+        "CAST(size(array_intersect(ga, gb)) AS BIGINT) AS n_common",
+        "CAST(size(ga) AS BIGINT) AS na", "CAST(size(gb) AS BIGINT) AS nb")
 
   /** Drop the cached LSH prologue blocks (bench/verify hygiene). */
   def release(): Unit = {
@@ -224,10 +230,12 @@ object Dedup {
         .distinct()
         .localCheckpoint(true)
       val candDocs = cand.selectExpr("explode(array(a, b)) AS doc_id").distinct()
-      // distinct word-3-gram sets of candidate docs only
+      // distinct word-3-gram ARRAY per candidate doc (no explode — the
+      // in-row overlap consumes whole arrays); checkpointed: feeds both
+      // array-attach joins
       val sh = docs.join(candDocs, Seq("doc_id"), "left_semi")
         .selectExpr("doc_id", "split(text, ' ') AS toks")
-        .selectExpr("doc_id", s"explode(array_distinct($shingle3)) AS sh")
+        .selectExpr("doc_id", s"array_distinct($shingle3) AS gs")
         .localCheckpoint(true)
       pairOverlap(cand, sh)
         .selectExpr("a", "b",
@@ -689,13 +697,25 @@ object Dedup {
 
   def d08NgramJaccard(s: SparkSession, d: String): DataFrame = {
     val D08Stage(memb, grams, cand) = d08CandidateStage(s, d)
+    val docs = Tables.documents(s, d)
+      .filter(size(split(col("text"), " ")) >= 3)
     val candDocs = cand.selectExpr("explode(array(a, b)) AS doc_id").distinct()
-    val gc = grams.join(candDocs, Seq("doc_id"), "left_semi")
-    val common = cand.select(col("a"), col("b"))
-      .join(gc.as("sa"), col("a") === col("sa.doc_id"))
-      .join(gc.as("sb"), col("b") === col("sb.doc_id") && col("sa.g") === col("sb.g"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
-    val repPairs = cand.join(common, Seq("a", "b")) // share ≥1 gram ⇒ inner
+    // r6: overlap verification IN-ROW over per-doc distinct-gram arrays
+    // (pairOverlap's array_intersect rewrite) — replaces the exploded
+    // (doc, gram) self-equi-join + groupBy, the heavy half of this query.
+    // Arrays are rebuilt from text rather than re-grouped from `grams`
+    // (one narrow in-row pass over candidate reps, no shuffle). The former
+    // inner join on `common` only kept pairs sharing ≥1 gram; the Jaccard
+    // threshold filter subsumes it (c = 0 can never satisfy 5c ≥ 3(na+nb)).
+    val garr = docs.join(candDocs, Seq("doc_id"), "left_semi")
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr("doc_id", s"array_distinct($shingle3) AS gs")
+      .localCheckpoint(true) // feeds both array-attach joins
+    val repPairs = cand
+      .join(garr.select(col("doc_id").as("a"), col("gs").as("ga")), Seq("a"))
+      .join(garr.select(col("doc_id").as("b"), col("gs").as("gb")), Seq("b"))
+      .selectExpr("a", "b", "na", "nb",
+        "CAST(size(array_intersect(ga, gb)) AS BIGINT) AS c")
       .filter(lit(5) * col("c") >= lit(3) * (col("na") + col("nb") - col("c")))
       .selectExpr("a", "b", "(1000 * c) DIV (na + nb - c) AS jaccard_e3")
     // expand the collapse back to doc-level pairs: cross-group pairs inherit
@@ -769,11 +789,12 @@ object Dedup {
       .filter(col("sa.sig") === col("sb.sig"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_agree"))
     val candDocs = cand.selectExpr("explode(array(a, b)) AS doc_id").distinct()
+    // distinct char-8-gram ARRAY per candidate doc (in-row overlap, as d02)
     val sh = docs.join(candDocs, Seq("doc_id"), "left_semi")
       .selectExpr("doc_id",
-        "explode(array_distinct(transform(sequence(1, greatest(length(text) - 7, 1)), " +
-          "i -> substr(text, i, 8)))) AS sh")
-      .localCheckpoint(true) // read by sizes and both sides of common
+        "array_distinct(transform(sequence(1, greatest(length(text) - 7, 1)), " +
+          "i -> substr(text, i, 8))) AS gs")
+      .localCheckpoint(true) // read by both array-attach joins
     pairOverlap(cand, sh)
       .join(agree, Seq("a", "b"))
       .selectExpr("a", "b", "n_agree",
@@ -843,9 +864,12 @@ object Dedup {
       .selectExpr("doc_id", "split(text, ' ') AS toks")
       .selectExpr("doc_id", s"posexplode(${wordGramExpr(5)}) AS (p, g)")
       .localCheckpoint(true) // feeds the df aggregate AND the semi join-back
+    // "occurs in ≥ 2 distinct docs" ⟺ min(doc) ≠ max(doc): one-pass min/max
+    // instead of a countDistinct (which expands to a two-phase distinct
+    // aggregate over every corpus gram) — r6
     val dupG = grams.groupBy(col("g"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") >= 2).select(col("g"))
+      .agg(min(col("doc_id")).as("dmin"), max(col("doc_id")).as("dmax"))
+      .filter(col("dmin") =!= col("dmax")).select(col("g"))
     val isl = grams.join(dupG, Seq("g"), "left_semi")
       .selectExpr("doc_id", "p",
         "p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS isl")

@@ -35,22 +35,41 @@ object Similarity {
       "CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
   private val cnormExpr = qnormExpr.replace("qe", "ce")
 
-  def s01KnnBrute(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-    val queries = emb.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val cands = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
-    val scored = cands.join(broadcast(queries), col("cand_id") =!= col("query_id"))
-      .selectExpr("query_id", "cand_id",
-        s"CASE WHEN $qnormExpr * $cnormExpr = 0 THEN CAST(-2000000 AS BIGINT) " +
-          s"ELSE CAST(floor(1e6 * $dotExpr / ($qnormExpr * $cnormExpr)) AS BIGINT) END AS sim_e6")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim_e6").desc, col("cand_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= K)
-      .select(col("query_id"), col("rk"), col("cand_id"), col("sim_e6"))
-      .orderBy(col("query_id"), col("rk"))
+  // s01/s02 top-k result tables, materialized once per (session, sf) — s05
+  // (recall calibration over exactly these row sets) previously re-executed
+  // both scans + top-k windows inside its own plan (the d11 lesson applied
+  // to the similarity family, r6). Results are NQueries×K rows.
+  private val s01Cache = new graft.plans.SessionCache[DataFrame]("sim-s01")
+  private val s02Cache = new graft.plans.SessionCache[DataFrame]("sim-s02")
+
+  /** Free the cached s01/s02 result leaves (bench/verify hygiene — invoked
+    * via KgPipeline.release, the hook the frozen driver mains call).
+    */
+  def release(): Unit = {
+    s01Cache.foreachValue(graft.plans.Caches.free(_)); s01Cache.clear()
+    s02Cache.foreachValue(graft.plans.Caches.free(_)); s02Cache.clear()
   }
+
+  private def s01Cached(s: SparkSession, d: String): DataFrame =
+    s01Cache.get(s, d) {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val cands = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+      val scored = cands.join(broadcast(queries), col("cand_id") =!= col("query_id"))
+        .selectExpr("query_id", "cand_id",
+          s"CASE WHEN $qnormExpr * $cnormExpr = 0 THEN CAST(-2000000 AS BIGINT) " +
+            s"ELSE CAST(floor(1e6 * $dotExpr / ($qnormExpr * $cnormExpr)) AS BIGINT) END AS sim_e6")
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim_e6").desc, col("cand_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= K)
+        .select(col("query_id"), col("rk"), col("cand_id"), col("sim_e6"))
+        .localCheckpoint(true)
+    }
+
+  def s01KnnBrute(s: SparkSession, d: String): DataFrame =
+    s01Cached(s, d).orderBy(col("query_id"), col("rk"))
 
   val s01Sql: String =
     s"""WITH q AS (
@@ -99,25 +118,29 @@ object Similarity {
       .agg(sum(col("bit")).as("bucket"))
   }
 
-  def s02AnnLsh(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-    val bk = buckets(s, d)
-    val vecs = emb.join(bk, Seq("vec_id"))
-    val queries = vecs.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
-    val cands = vecs.select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("bucket"))
-    val scored = cands.join(broadcast(queries), Seq("bucket"))
-      .filter(col("cand_id") =!= col("query_id"))
-      .selectExpr("query_id", "cand_id",
-        s"CASE WHEN $qnormExpr * $cnormExpr = 0 THEN CAST(-2000000 AS BIGINT) " +
-          s"ELSE CAST(floor(1e6 * $dotExpr / ($qnormExpr * $cnormExpr)) AS BIGINT) END AS sim_e6")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim_e6").desc, col("cand_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= K)
-      .select(col("query_id"), col("rk"), col("cand_id"), col("sim_e6"))
-      .orderBy(col("query_id"), col("rk"))
-  }
+  private def s02Cached(s: SparkSession, d: String): DataFrame =
+    s02Cache.get(s, d) {
+      val emb = Tables.embeddings(s, d)
+      val bk = buckets(s, d)
+      val vecs = emb.join(bk, Seq("vec_id"))
+      val queries = vecs.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
+      val cands = vecs.select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("bucket"))
+      val scored = cands.join(broadcast(queries), Seq("bucket"))
+        .filter(col("cand_id") =!= col("query_id"))
+        .selectExpr("query_id", "cand_id",
+          s"CASE WHEN $qnormExpr * $cnormExpr = 0 THEN CAST(-2000000 AS BIGINT) " +
+            s"ELSE CAST(floor(1e6 * $dotExpr / ($qnormExpr * $cnormExpr)) AS BIGINT) END AS sim_e6")
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim_e6").desc, col("cand_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= K)
+        .select(col("query_id"), col("rk"), col("cand_id"), col("sim_e6"))
+        .localCheckpoint(true)
+    }
+
+  def s02AnnLsh(s: SparkSession, d: String): DataFrame =
+    s02Cached(s, d).orderBy(col("query_id"), col("rk"))
 
   val s02Sql: String = {
     // The float accumulation order for `proj` differs between engines only at
@@ -335,8 +358,10 @@ object Similarity {
     * rows expose starved buckets (the failure mode more planes induces).
     */
   def s05AnnRecall(s: SparkSession, d: String): DataFrame = {
-    val truth = s01KnnBrute(s, d).select(col("query_id"), col("cand_id"))
-    val approx = s02AnnLsh(s, d).select(col("query_id"), col("cand_id"))
+    // the cached s01/s02 result leaves — the scans + top-k windows run once
+    // per (session, sf), not once per consumer (r6)
+    val truth = s01Cached(s, d).select(col("query_id"), col("cand_id"))
+    val approx = s02Cached(s, d).select(col("query_id"), col("cand_id"))
       .withColumn("hit", lit(1L))
     truth.join(approx, Seq("query_id", "cand_id"), "left")
       .groupBy(col("query_id"))

@@ -250,4 +250,21 @@ class RelationalSpec extends AnyFunSuite {
       (4L, 1L, 2L, "changed", 1L),
       (5L, 0L, 1L, "added", 1L)))
   }
+
+  /** q23's '(all)' sentinel collides if a data row's lang/source is NULL or
+    * literally '(all)' — a margin row and a data row would then carry
+    * identical sort keys with different counts, making cross-engine row
+    * order nondeterministic (r6 ADVICE). Pin the precondition on the corpora
+    * the driver actually checks, so a future generator change fails HERE
+    * with a named cause instead of as a baffling q23 hash flake.
+    */
+  test("q23 sentinel precondition: no NULL or '(all)' lang/source in corpora") {
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val bad = Tables.documents(spark, sf)
+        .where("lang IS NULL OR source IS NULL OR lang = '(all)' OR source = '(all)'")
+        .count()
+      assert(bad == 0L, s"$sf holds $bad rows colliding with q23's sentinel")
+    }
+  }
 }
