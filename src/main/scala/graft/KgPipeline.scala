@@ -668,12 +668,16 @@ object KgPipeline {
       .unionAll(cooc.selectExpr("wd_b AS src", "wd_a AS dst", "n_events AS w"))
       .localCheckpoint(true) // reused every round (plus wtot + nodes below)
     val nodes = edges.select(col("src").as("node")).distinct().localCheckpoint(true)
-    val n = nodes.count()
+    // ONE setup aggregate for both loop preconditions (r6: the node count
+    // and the weight guard were two separate collect jobs)
+    val guard = edges.selectExpr("count(DISTINCT src) AS n", "max(w) AS m")
+      .collect().head
+    val n = guard.getLong(0)
     require(n > 0, "kg17 needs a non-empty co-occurrence graph — kg15 " +
       "returned no entity pairs")
     // (pr * w) must not wrap: pr mass is bounded by Kg17Scale, so the guard
     // is on the edge weights — loud, not silent (the x07 overflow lesson)
-    val maxW = edges.selectExpr("max(w) AS m").collect().head.getLong(0)
+    val maxW = guard.getLong(1)
     require(maxW <= 1000000L,
       s"kg17 edge weight $maxW would overflow the scaled-integer rank " +
         "product (Kg17Scale * w approaches Long range) — rescale first")

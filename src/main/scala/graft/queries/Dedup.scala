@@ -225,9 +225,17 @@ object Dedup {
       // a candidate pair BEFORE the shingle explode, so it is O(candidate
       // docs' shingles), not O(corpus). Dropped mega-bucket volume is
       // reported by d05_lsh_bucket_stats.
+      // no distinct over the union (r6): the two sides are DISJOINT —
+      // band pairs hold two REPRESENTATIVES (signatures are built over
+      // reps only) while group pairs hold a rep and a NON-rep member (a
+      // doc belongs to exactly one fp group, so a member b ≠ its group's
+      // rep is no group's rep) — and each side is internally distinct
+      // (band pairs via the leaf's distinct; one group row per (fp,
+      // member)). The former distinct re-shuffled the full candidate set
+      // for provably zero effect; any error in this argument would emit
+      // duplicate (a, b) rows and turn the d02/d09/d11 oracle rows red.
       val cand = bandPairsLeaf(s, d) // shared with d09
         .unionByName(pro.groupPairs) // exact/BoW members ↔ canonical rep
-        .distinct()
         .localCheckpoint(true)
       val candDocs = cand.selectExpr("explode(array(a, b)) AS doc_id").distinct()
       // distinct word-3-gram ARRAY per candidate doc (no explode — the
