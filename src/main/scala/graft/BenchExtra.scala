@@ -68,6 +68,23 @@ object BenchExtra {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = session()
     if (args.headOption.contains("cooc")) { probeCooc(spark, sfDir); spark.stop(); return }
+    if (args.headOption.contains("d02")) {
+      // stage decomposition of the shared dedup build (r6 shape)
+      def stage(l: String)(f: => Unit): Unit =
+        println(f"[d02] $l: ${timed(f)}%.2f s")
+      stage("prologue (groups + sigs)")(
+        graft.queries.Dedup.prologue(spark, sfDir).sigs.count())
+      stage("bandPairsLeaf")(
+        graft.queries.Dedup.bandPairsLeaf(spark, sfDir).count())
+      stage("verifiedPairs (cand + sh arrays + overlap + top100)")(
+        graft.queries.Dedup.d02LshPairs(spark, sfDir).count())
+      stage("d09 (agree + overlap)")(
+        graft.queries.Dedup.d09MinhashCalibration(spark, sfDir).count())
+      stage("d11 (CC + stats)")(
+        graft.queries.Dedup.d11DupClusters(spark, sfDir).count())
+      graft.queries.Dedup.release()
+      spark.stop(); return
+    }
     if (args.headOption.contains("kg16")) {
       // split kg16 into its two halves: the driver-side sequential oracle
       // re-derivation vs the distributed diff
